@@ -1,0 +1,246 @@
+"""Shared in-memory search engine: CRUD + filtered top-k search.
+
+This is the single implementation behind VectorDatabase,
+ShardedVectorDatabase and ShardedVectorDatabaseUsearch (the reference
+duplicates ~390 lines of this logic into each class; SURVEY.md §2 notes the
+build should implement it once).
+
+Search maps the reference's two code paths (prebuilt FAISS index for
+unfiltered queries, throwaway per-query index for filtered ones,
+vector_database.py:495-523) onto ONE device program: a masked cosine scan +
+top-k (ops/scan.py). Filters compile to a boolean row mask; masked rows can
+never enter the top-k, which preserves the reference's exact-count semantics
+(min(k, |candidates|) results, vector_database.py:489).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from minivectordb_tpu.core.store import VectorStore
+from minivectordb_tpu.filters.engine import (
+    FilterContext,
+    MetadataIndex,
+    get_filtered_rows,
+)
+
+
+class SearchEngine:
+    """Row-packed corpus + id maps + metadata index + masked device search."""
+
+    def __init__(self, device_dtype: str = "float32"):
+        self.device_dtype = device_dtype
+        self.embedding_size: int | None = None
+        self.store: VectorStore | None = None
+        self.uids: list = []  # row -> unique id
+        self.inverse_id_map: dict = {}  # unique id -> row
+        self.metadata: list = []  # row -> metadata dict
+        self.meta_index = MetadataIndex()
+        self.lock = threading.RLock()
+
+    # -- introspection -----------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        return 0 if self.store is None else self.store.count
+
+    @property
+    def embeddings_view(self) -> np.ndarray | None:
+        return None if self.store is None else self.store.view()
+
+    @property
+    def inverted_index(self):
+        return self.meta_index.inverted_index
+
+    def _filter_context(self) -> FilterContext:
+        return FilterContext(self.meta_index, self.inverse_id_map, self.metadata)
+
+    # -- mutations (caller holds self.lock) --------------------------------
+
+    def _ensure_store(self, dim: int) -> None:
+        if self.embedding_size is None:
+            self.embedding_size = int(dim)
+        if self.store is None:
+            self.store = VectorStore(self.embedding_size, self.device_dtype)
+
+    def add_one(self, unique_id, embedding: np.ndarray, metadata_dict: dict) -> int:
+        if unique_id in self.inverse_id_map:
+            raise ValueError("Unique ID already exists.")
+        embedding = np.asarray(embedding, dtype=np.float32)
+        self._ensure_store(embedding.shape[0])
+        if embedding.shape[-1] != self.embedding_size:
+            raise ValueError(
+                f"Embedding dimension mismatch: expected {self.embedding_size}, "
+                f"got {embedding.shape[-1]}."
+            )
+        row = self.store.append(embedding).start
+        self.uids.append(unique_id)
+        self.inverse_id_map[unique_id] = row
+        self.metadata.append(metadata_dict)
+        self.meta_index.add(unique_id, metadata_dict)
+        return row
+
+    def add_batch(self, unique_ids: list, embeddings, metadata_dicts: list) -> range:
+        for uid in unique_ids:
+            if uid in self.inverse_id_map:
+                raise ValueError(f"Unique ID {uid} already exists.")
+        mat = np.asarray(
+            [np.asarray(e, dtype=np.float32) for e in embeddings], dtype=np.float32
+        )
+        self._ensure_store(mat.shape[1])
+        if mat.shape[1] != self.embedding_size:
+            raise ValueError(
+                f"Embedding dimension mismatch: expected {self.embedding_size}, "
+                f"got {mat.shape[1]}."
+            )
+        rows = self.store.append(mat)
+        start = rows.start
+        self.uids.extend(unique_ids)
+        self.inverse_id_map.update(
+            {uid: start + i for i, uid in enumerate(unique_ids)}
+        )
+        self.metadata.extend(metadata_dicts)
+        for uid, md in zip(unique_ids, metadata_dicts):
+            self.meta_index.add(uid, md)
+        return rows
+
+    def delete_many(self, unique_ids: list) -> None:
+        """Remove uids, compacting rows (reference vector_database.py:119-155).
+
+        Id maps are rebuilt as fresh objects (not mutated in place) so that a
+        concurrent search holding a snapshot reference stays consistent.
+        """
+        rows = sorted(self.inverse_id_map[uid] for uid in unique_ids)
+        doomed = set(rows)
+        for uid in unique_ids:
+            row = self.inverse_id_map[uid]
+            self.meta_index.remove(uid, self.metadata[row])
+        self.store.delete_rows(rows)
+        new_uids, new_metadata = [], []
+        for row, uid in enumerate(self.uids):
+            if row not in doomed:
+                new_uids.append(uid)
+                new_metadata.append(self.metadata[row])
+        self.uids = new_uids
+        self.metadata = new_metadata
+        self.inverse_id_map = {uid: i for i, uid in enumerate(new_uids)}
+
+    def get_row(self, unique_id) -> np.ndarray:
+        if unique_id not in self.inverse_id_map:
+            raise ValueError("Unique ID does not exist.")
+        return self.store.row(self.inverse_id_map[unique_id])
+
+    def reset(self) -> None:
+        self.embedding_size = None
+        self.store = None
+        self.uids = []
+        self.inverse_id_map = {}
+        self.metadata = []
+        self.meta_index = MetadataIndex()
+
+    def load(self, embeddings, uids, metadatas, inverted_index=None) -> None:
+        self.reset()
+        self.uids = list(uids)
+        self.metadata = list(metadatas)
+        self.inverse_id_map = {uid: i for i, uid in enumerate(self.uids)}
+        if embeddings is not None and len(embeddings):
+            emb = np.asarray(embeddings, dtype=np.float32)
+            self._ensure_store(emb.shape[1])
+            self.store.append(emb)
+        if inverted_index is not None:
+            self.meta_index.load_inverted_index(
+                inverted_index, self.uids, self.metadata
+            )
+        else:
+            self.meta_index.rebuild(self.uids, self.metadata)
+
+    # -- search ------------------------------------------------------------
+
+    def search(
+        self,
+        embedding,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+        return_distances: bool = False,
+    ):
+        """Filtered top-k. Returns (ids, scores, metadatas) tuples.
+
+        ``return_distances=True`` converts cosine similarity to cosine
+        distance (1 - cos), mirroring the usearch engine's lower-is-better
+        outputs (reference sharded_vector_database_usearch.py:629-637).
+        """
+        if self.store is None or self.count == 0:
+            return [], [], []
+
+        q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
+
+        with self.lock:
+            filtered = get_filtered_rows(
+                self._filter_context(), metadata_filter, exclude_filter, or_filters
+            )
+            if not filtered:
+                return [], [], []
+            search_k = min(k, len(filtered))
+            mask = None
+            if len(filtered) != self.count:
+                mask = np.zeros(self.count, dtype=bool)
+                mask[np.fromiter(filtered, dtype=np.int64, count=len(filtered))] = True
+            vals, idx = self.store.search(q, search_k, mask)
+            # Snapshot row-aligned structures before releasing the lock.
+            uids, metadata = self.uids, self.metadata
+
+        found = []
+        for score, row in zip(vals[0], idx[0]):
+            if score < -1.0e38:  # masked/padded slot — fewer than k candidates
+                continue
+            s = float(score)
+            found.append(
+                (uids[row], (1.0 - s) if return_distances else np.float32(s), metadata[row])
+            )
+        if return_distances:
+            found.sort(key=lambda t: t[1])
+        return tuple(zip(*found)) if found else ([], [], [])
+
+
+def autocut_scores(score_list):
+    """Indices to drop after the sharpest >20% score DROP (higher-is-better).
+
+    Parity with reference vector_database.py:443-464.
+    """
+    score_decreases = []
+    for i in range(1, len(score_list)):
+        score_decreases.append(
+            (score_list[i - 1] - score_list[i]) / score_list[i - 1]
+        )
+    max_dec = max(score_decreases)
+    if max_dec > 0.2:
+        return list(range(score_decreases.index(max_dec) + 1, len(score_list)))
+    return []
+
+
+def autocut_distances(distance_list):
+    """Indices to drop after the sharpest >20% distance INCREASE
+    (lower-is-better). Parity with reference
+    sharded_vector_database_usearch.py:573-594."""
+    increases = []
+    for i in range(1, len(distance_list)):
+        increases.append(
+            (distance_list[i] - distance_list[i - 1]) / distance_list[i - 1]
+        )
+    max_inc = max(increases)
+    if max_inc > 0.2:
+        return list(range(increases.index(max_inc) + 1, len(distance_list)))
+    return []
+
+
+def apply_autocut(remove_indexes, ids, distances, metadatas):
+    if remove_indexes:
+        keep = [i for i in range(len(ids)) if i not in remove_indexes]
+        ids = [ids[i] for i in keep]
+        distances = [distances[i] for i in keep]
+        metadatas = [metadatas[i] for i in keep]
+    return ids, distances, metadatas

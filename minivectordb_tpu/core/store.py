@@ -1,0 +1,210 @@
+"""HBM-resident packed vector store with a host-canonical mirror.
+
+Replaces the reference's storage layer (numpy vstack-per-insert +
+faiss index rebuild-on-dirty, vector_database.py:42-47, 57-81, 477-479):
+
+- Host side: a preallocated numpy matrix with power-of-two capacity growth,
+  so appends are O(1) amortized (the reference's np.vstack is O(N*d) per
+  insert). The host mirror is canonical — it is what gets pickled and what
+  the public ``db.embeddings`` view exposes.
+- Device side: a padded HBM buffer (same power-of-two capacity) plus
+  precomputed per-row 1/norms, synced lazily: only the dirty row range is
+  re-uploaded and re-normalized (ops/scan.py:update_rows), never the whole
+  corpus. Searches consume the device buffer directly; there is no "index"
+  object to rebuild.
+
+Static shapes: the device buffer capacity only takes power-of-two values, so
+XLA compiles each (capacity, dim) combination once; the live row count is a
+runtime scalar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from minivectordb_tpu.ops import scan as scan_ops
+
+_MIN_CAPACITY = 1024
+# Row-range uploads are padded to power-of-two sizes so each update shape
+# compiles once. Beyond this fraction of capacity, a full re-upload is cheaper.
+_FULL_SYNC_FRACTION = 0.5
+
+
+class VectorStore:
+    """Packed (N, d) float32 corpus: host-canonical, device-cached.
+
+    Not thread-safe by itself; the owning database serializes access.
+    """
+
+    def __init__(self, dim: int, device_dtype: str = "float32"):
+        if device_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"Unsupported device dtype: {device_dtype}")
+        self.dim = int(dim)
+        self.device_dtype = device_dtype
+        self.count = 0
+        self._data = np.zeros((_MIN_CAPACITY, self.dim), dtype=np.float32)
+        # Device cache state
+        self._buf = None
+        self._inv_norms = None
+        self._dev_capacity = 0
+        self._dirty_from = 0  # lowest host row not reflected on device
+
+    # -- host-side API -----------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self._data.shape[0]
+
+    def view(self) -> np.ndarray:
+        """Zero-copy view of the live rows (the public ``embeddings``)."""
+        return self._data[: self.count]
+
+    def row(self, i: int) -> np.ndarray:
+        return self._data[i]
+
+    def _ensure_host_capacity(self, need: int) -> None:
+        cap = self.capacity
+        if need <= cap:
+            return
+        new_cap = scan_ops.capacity_bucket(need, _MIN_CAPACITY)
+        grown = np.zeros((new_cap, self.dim), dtype=np.float32)
+        grown[: self.count] = self._data[: self.count]
+        self._data = grown
+
+    def append(self, rows: np.ndarray) -> range:
+        """Append rows (n, d) float32; returns the assigned row range."""
+        rows = np.ascontiguousarray(rows, dtype=np.float32)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        n = rows.shape[0]
+        start = self.count
+        self._ensure_host_capacity(start + n)
+        self._data[start : start + n] = rows
+        self._dirty_from = min(self._dirty_from, start)
+        self.count = start + n
+        return range(start, start + n)
+
+    def delete_rows(self, rows: list[int] | np.ndarray) -> None:
+        """Compact away the given row indices (keeps relative order).
+
+        Mirrors the reference's eager np.delete compaction
+        (vector_database.py:126) so row numbers stay dense; only the suffix
+        from the first deleted row becomes device-dirty.
+        """
+        if len(rows) == 0:
+            return
+        rows = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.int64)
+        first = int(rows[0])
+        keep = np.ones(self.count, dtype=bool)
+        keep[rows] = False
+        kept_tail = self._data[first : self.count][keep[first:]]
+        self._data[first : first + kept_tail.shape[0]] = kept_tail
+        self.count = first + kept_tail.shape[0]
+        self._dirty_from = min(self._dirty_from, first)
+
+    def replace_row(self, i: int, row: np.ndarray) -> None:
+        self._data[i] = np.asarray(row, dtype=np.float32)
+        self._dirty_from = min(self._dirty_from, i)
+
+    def load(self, matrix: np.ndarray) -> None:
+        """Reset contents from a dense (N, d) matrix (pickle load path)."""
+        matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+        self.count = 0
+        self._dirty_from = 0
+        self._buf = None
+        self._inv_norms = None
+        self._dev_capacity = 0
+        if matrix.shape[0]:
+            self.append(matrix)
+
+    # -- device-side API ---------------------------------------------------
+
+    def _jnp_dtype(self):
+        return {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[self.device_dtype]
+
+    def _full_upload(self, dev_cap: int) -> None:
+        padded = np.zeros((dev_cap, self.dim), dtype=np.float32)
+        padded[: self.count] = self._data[: self.count]
+        host = jnp.asarray(padded)
+        if self.device_dtype == "int8":
+            zeros_buf = jnp.zeros((dev_cap, self.dim), dtype=jnp.int8)
+            zeros_n = jnp.zeros((dev_cap,), dtype=jnp.float32)
+            self._buf, self._inv_norms = scan_ops.update_rows_int8(
+                zeros_buf, zeros_n, host, 0
+            )
+        else:
+            buf = host.astype(self._jnp_dtype())
+            self._buf = buf
+            self._inv_norms = scan_ops.row_inv_norms(host)
+        self._dev_capacity = dev_cap
+        self._dirty_from = self.count
+
+    def sync(self) -> tuple[jax.Array, jax.Array, int]:
+        """Bring the device cache up to date; returns (buf, inv_norms, count)."""
+        dev_cap = scan_ops.capacity_bucket(max(self.count, 1), _MIN_CAPACITY)
+        if self._buf is None or dev_cap != self._dev_capacity:
+            self._full_upload(dev_cap)
+        elif self._dirty_from < self.count:
+            start = self._dirty_from
+            n = self.count - start
+            if n > _FULL_SYNC_FRACTION * dev_cap:
+                self._full_upload(dev_cap)
+            else:
+                # Pad the update to a power-of-two row count so each update
+                # shape compiles once; padding rows land in the dead zone
+                # beyond `count` (masked at search time) unless they would
+                # run off the buffer, in which case shift the window left
+                # (re-writing some already-clean rows is harmless).
+                p = scan_ops.capacity_bucket(n, 8)
+                if start + p > dev_cap:
+                    start = dev_cap - p
+                rows = jnp.asarray(
+                    np.ascontiguousarray(self._data[start : start + p])
+                )
+                if self.device_dtype == "int8":
+                    self._buf, self._inv_norms = scan_ops.update_rows_int8(
+                        self._buf, self._inv_norms, rows, start
+                    )
+                else:
+                    self._buf, self._inv_norms = scan_ops.update_rows(
+                        self._buf, self._inv_norms, rows, start
+                    )
+                self._dirty_from = self.count
+        return self._buf, self._inv_norms, self.count
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k cosine search. queries: (B, d); returns (scores, indices) (B, k).
+
+        ``mask`` restricts candidates (True = eligible); the returned arrays
+        are already trimmed to k. Invalid/padded positions carry scores below
+        -1e38 and index arbitrary rows; callers drop them via the score check.
+        """
+        buf, inv_norms, count = self.sync()
+        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        kb = scan_ops.k_bucket(k, self._dev_capacity)
+        mask_dev = None
+        if mask is not None:
+            padded = np.zeros(self._dev_capacity, dtype=bool)
+            padded[: mask.shape[0]] = mask
+            mask_dev = jnp.asarray(padded)
+        if self.device_dtype == "int8":
+            vals, idx = scan_ops.scan_topk_int8(
+                buf, inv_norms, q, count, kb, mask_dev
+            )
+        else:
+            vals, idx = scan_ops.scan_topk(buf, inv_norms, q, count, kb, mask_dev)
+        vals = np.asarray(vals)[:, :k]
+        idx = np.asarray(idx)[:, :k]
+        return vals, idx

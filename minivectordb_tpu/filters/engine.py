@@ -1,0 +1,238 @@
+"""Mongo-like metadata filter engine (single shared implementation).
+
+The reference duplicates this logic verbatim in all three database classes
+(vector_database.py:157-386, sharded_vector_database.py:289-518,
+sharded_vector_database_usearch.py:287-516). Here it is implemented once and
+shared by the flat and sharded engines.
+
+Observable semantics preserved from the reference:
+- ``metadata_filter`` (dict or list of dicts) is an AND across all key/value
+  pairs (vector_database.py:238-318).
+- ``or_filters`` is a union across its dicts, then *intersected* with the AND
+  result (vector_database.py:366-377).
+- ``exclude_filter`` subtracts matches and supports equality only — operator
+  dicts in an exclude compare literally and thus never match
+  (vector_database.py:320-352).
+- Operators: $gt $gte $lt $lte $ne, and $in meaning "filter value is a member
+  of the metadata value" (vector_database.py:166-173). Unknown operators raise
+  ValueError (vector_database.py:174-175).
+- Empty-dict filters are falsy and mean "no filter" (vector_database.py:354-356).
+
+Deliberate fix vs. the reference (documented quirk, SURVEY.md C4): when one
+key maps to a dict of several operators, e.g. ``{"$gte": a, "$lte": b}``, the
+reference silently applies only the first (vector_database.py:164,243); here
+ALL operators in the dict are applied (AND within the key — proper range
+queries). Every reference test still passes under this semantics.
+
+Performance: equality lookups use a (key, value) -> uids value-level index
+maintained incrementally (falling back to a scan of the key's posting list
+for unhashable values), instead of the reference's full iteration over the
+key posting list per query.
+"""
+
+from __future__ import annotations
+
+import operator
+from collections import defaultdict
+from typing import Any, Iterable
+
+_OPS = {
+    "$gt": operator.gt,
+    "$gte": operator.ge,
+    "$lt": operator.lt,
+    "$lte": operator.le,
+    "$ne": operator.ne,
+    # reference vector_database.py:172 — op_func(metadata_value, filter_value)
+    "$in": lambda metadata_value, filter_value: filter_value in metadata_value,
+}
+
+
+def _op_func(op: str):
+    fn = _OPS.get(op)
+    if fn is None:
+        raise ValueError(f"Invalid operator: {op}")
+    return fn
+
+
+class MetadataIndex:
+    """Host-side metadata store: posting lists + value-level equality index.
+
+    The uid-keyed structures mirror the reference's public ``inverted_index``
+    (key -> set of uids); the value index is an internal acceleration layer.
+    """
+
+    def __init__(self):
+        self.inverted_index: defaultdict[Any, set] = defaultdict(set)
+        # key -> value -> set(uids); only hashable values land here.
+        self._value_index: dict[Any, dict[Any, set]] = {}
+        # key -> set(uids) whose value under key is unhashable (list, dict...)
+        self._unhashable: dict[Any, set] = {}
+
+    # -- maintenance -------------------------------------------------------
+
+    def add(self, uid, metadata: dict) -> None:
+        for key, value in metadata.items():
+            self.inverted_index[key].add(uid)
+            try:
+                self._value_index.setdefault(key, {}).setdefault(value, set()).add(uid)
+            except TypeError:
+                self._unhashable.setdefault(key, set()).add(uid)
+
+    def remove(self, uid, metadata: dict) -> None:
+        for key, value in metadata.items():
+            s = self.inverted_index.get(key)
+            if s is not None:
+                s.discard(uid)
+                if not s:
+                    del self.inverted_index[key]
+            vi = self._value_index.get(key)
+            if vi is not None:
+                try:
+                    bucket = vi.get(value)
+                except TypeError:
+                    bucket = None
+                if bucket is not None:
+                    bucket.discard(uid)
+                    if not bucket:
+                        del vi[value]
+                    if not vi:
+                        del self._value_index[key]
+            uh = self._unhashable.get(key)
+            if uh is not None:
+                uh.discard(uid)
+                if not uh:
+                    del self._unhashable[key]
+
+    def rebuild(self, uids: Iterable, metadatas: Iterable[dict]) -> None:
+        self.inverted_index = defaultdict(set)
+        self._value_index = {}
+        self._unhashable = {}
+        for uid, md in zip(uids, metadatas):
+            self.add(uid, md)
+
+    def load_inverted_index(self, inverted_index, uids, metadatas) -> None:
+        """Restore from a pickled inverted_index, rebuilding the value layer."""
+        self.rebuild(uids, metadatas)
+        # Preserve any extra keys the pickle carried (defensive parity).
+        for key, vals in dict(inverted_index).items():
+            self.inverted_index[key].update(vals)
+
+
+class FilterContext:
+    """Snapshot of the structures a filter evaluation needs."""
+
+    __slots__ = ("index", "inverse_id_map", "metadata_of_row")
+
+    def __init__(self, index: MetadataIndex, inverse_id_map: dict, metadata_rows: list):
+        self.index = index
+        self.inverse_id_map = inverse_id_map
+        self.metadata_of_row = metadata_rows
+
+
+def _rows_with_key(ctx: FilterContext, key) -> Iterable[tuple[int, dict]]:
+    """(row, metadata) for every live uid in key's posting list."""
+    inv = ctx.inverse_id_map
+    for uid in ctx.index.inverted_index.get(key, ()):  # uids that HAVE the key
+        row = inv.get(uid)
+        if row is None:
+            continue
+        yield row, ctx.metadata_of_row[row]
+
+
+def _equality_rows(ctx: FilterContext, key, value) -> set[int]:
+    """Rows whose metadata[key] == value, via the value index when possible."""
+    vi = ctx.index._value_index.get(key)
+    uh = ctx.index._unhashable.get(key)
+    try:
+        hashable = True
+        bucket = vi.get(value, set()) if vi is not None else set()
+    except TypeError:
+        hashable = False
+        bucket = set()
+    inv = ctx.inverse_id_map
+    rows = {inv[uid] for uid in bucket if uid in inv}
+    # Unhashable stored values (lists etc.) or unhashable filter values must
+    # be compared by scanning the relevant posting subset.
+    scan_uids: Iterable = ()
+    if not hashable:
+        scan_uids = ctx.index.inverted_index.get(key, ())
+    elif uh:
+        scan_uids = uh
+    for uid in scan_uids:
+        row = inv.get(uid)
+        if row is not None and ctx.metadata_of_row[row].get(key, None) == value:
+            rows.add(row)
+    return rows
+
+
+def _match_condition(ctx: FilterContext, key, value) -> set[int]:
+    """Rows matching one key/value condition (operator dict or equality)."""
+    if isinstance(value, dict) and value:
+        ops = [( _op_func(op), opv) for op, opv in value.items()]
+        out = set()
+        for row, md in _rows_with_key(ctx, key):
+            mv = md.get(key, None)
+            if all(fn(mv, opv) for fn, opv in ops):
+                out.add(row)
+        return out
+    return _equality_rows(ctx, key, value)
+
+
+def _apply_and(ctx: FilterContext, and_filters: list[dict], filtered: set | None):
+    for f in and_filters:
+        for key, value in f.items():
+            rows = _match_condition(ctx, key, value)
+            filtered = rows if filtered is None else (filtered & rows)
+            if not filtered:
+                return filtered
+    return filtered
+
+
+def _apply_or(ctx: FilterContext, or_filters: list[dict]) -> set:
+    result: set[int] = set()
+    for f in or_filters:
+        for key, value in f.items():
+            result |= _match_condition(ctx, key, value)
+    return result
+
+
+def _apply_exclude(ctx: FilterContext, excludes: list[dict], filtered: set) -> set:
+    # Equality-only, like the reference (vector_database.py:320-352): an
+    # operator dict here is compared literally and never matches.
+    for f in excludes:
+        for key, value in f.items():
+            filtered -= _equality_rows(ctx, key, value)
+            if not filtered:
+                return filtered
+    return filtered
+
+
+def get_filtered_rows(
+    ctx: FilterContext,
+    metadata_filter=None,
+    exclude_filter=None,
+    or_filters=None,
+) -> set[int]:
+    """Compute the candidate row set. Mirrors reference
+    ``_get_filtered_indices`` (vector_database.py:354-386)."""
+    filtered = set(ctx.inverse_id_map.values()) if not metadata_filter else None
+
+    if isinstance(metadata_filter, dict):
+        metadata_filter = [metadata_filter]
+    if metadata_filter:
+        filtered = _apply_and(ctx, metadata_filter, filtered)
+
+    if or_filters:
+        if isinstance(or_filters, dict):
+            or_filters = [or_filters]
+        or_filters = [f for f in or_filters if f]
+        if or_filters:
+            ored = _apply_or(ctx, or_filters)
+            filtered = ored if filtered is None else (filtered & ored)
+
+    if exclude_filter:
+        if isinstance(exclude_filter, dict):
+            exclude_filter = [exclude_filter]
+        filtered = _apply_exclude(ctx, exclude_filter, filtered)
+
+    return filtered if filtered is not None else set()

@@ -1,0 +1,61 @@
+"""Encoder model-family configurations.
+
+Full-size configs mirror the HF checkpoints the reference loads
+(reference embedding_model.py:57-60); fallback configs are small seeded
+encoders with the SAME output dimensionality, used when pretrained weights
+are unavailable (this keeps every API/shape contract intact offline —
+semantic quality obviously requires converted weights).
+"""
+
+from __future__ import annotations
+
+from minivectordb_tpu.models.encoder import EncoderConfig
+
+# Real architectures (for weight conversion via models/convert.py)
+E5_SMALL = EncoderConfig(
+    vocab_size=250037, hidden=384, layers=12, heads=12, intermediate=1536
+)
+E5_LARGE = EncoderConfig(
+    vocab_size=250037, hidden=1024, layers=24, heads=16, intermediate=4096
+)
+BGE_M3 = EncoderConfig(  # XLM-RoBERTa-large backbone, 8192 positions
+    vocab_size=250002,
+    hidden=1024,
+    layers=24,
+    heads=16,
+    intermediate=4096,
+    max_positions=8194,
+)
+
+# Fallback (seeded) configs — same output dims, small bodies.
+FALLBACK_VOCAB = 32768
+FALLBACK_E5_SMALL = EncoderConfig(
+    vocab_size=FALLBACK_VOCAB, hidden=384, layers=2, heads=6, intermediate=1024
+)
+FALLBACK_E5_LARGE = EncoderConfig(
+    vocab_size=FALLBACK_VOCAB, hidden=1024, layers=2, heads=8, intermediate=2048
+)
+FALLBACK_BGE_M3 = EncoderConfig(
+    vocab_size=FALLBACK_VOCAB, hidden=1024, layers=2, heads=8, intermediate=2048
+)
+# The builtin 512-dim slot (stands in for the reference's quantized ONNX
+# Universal Sentence Encoder, embedding_model.py:19,81-82 — the ONNX blob is
+# not distributable here; the API surface is preserved).
+BUILTIN_512 = EncoderConfig(
+    vocab_size=FALLBACK_VOCAB, hidden=512, layers=4, heads=8, intermediate=1024
+)
+
+HF_MODEL_NAMES = {
+    "small": "intfloat/multilingual-e5-small",
+    "large": "intfloat/multilingual-e5-large",
+    "bgem3": "BAAI/bge-m3",
+}
+
+REAL_CONFIGS = {"small": E5_SMALL, "large": E5_LARGE, "bgem3": BGE_M3}
+FALLBACK_CONFIGS = {
+    "small": FALLBACK_E5_SMALL,
+    "large": FALLBACK_E5_LARGE,
+    "bgem3": FALLBACK_BGE_M3,
+    "builtin": BUILTIN_512,
+}
+FALLBACK_SEEDS = {"small": 101, "large": 102, "bgem3": 103, "builtin": 100}

@@ -1,0 +1,175 @@
+"""Functional JAX transformer encoder (XLM-RoBERTa family).
+
+TPU-native replacement for the reference's three embedding backends
+(reference embedding_model.py:37-79): onnxruntime USE-multilingual, torch
+``intfloat/multilingual-e5-{small,large}`` and FlagEmbedding ``BAAI/bge-m3``
+are all XLM-R-architecture encoders (or, for USE, an encoder with the same
+pool-and-normalize contract), so ONE functional implementation covers every
+model family; per-family weights are converted from HF checkpoints
+(models/convert.py) or deterministically initialized as a fallback.
+
+Design: pure functions over a params pytree, jitted per (batch, seq) bucket;
+bfloat16 matmuls on the MXU with float32 layernorm/softmax accumulation.
+Masked mean-pool + L2-normalize fuse into the same program
+(reference embedding_model.py:50-53, 67-70).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int
+    hidden: int
+    layers: int
+    heads: int
+    intermediate: int
+    max_positions: int = 514
+    pad_id: int = 1
+    layer_norm_eps: float = 1e-5
+    # XLM-R position ids start at pad_id + 1 for real tokens
+    pos_offset: int = 2
+
+
+def init_params(cfg: EncoderConfig, seed: int, dtype=jnp.float32) -> dict:
+    """Deterministic (seeded) initialization — the no-pretrained fallback."""
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 8 + 16 * cfg.layers))
+
+    def dense(kin, kout):
+        k = next(keys)
+        scale = 1.0 / np.sqrt(kin)
+        return {
+            "w": jax.random.normal(k, (kin, kout), dtype) * scale,
+            "b": jnp.zeros((kout,), dtype),
+        }
+
+    def ln():
+        return {"g": jnp.ones((cfg.hidden,), dtype), "b": jnp.zeros((cfg.hidden,), dtype)}
+
+    params = {
+        "word_emb": jax.random.normal(next(keys), (cfg.vocab_size, cfg.hidden), dtype)
+        * 0.02,
+        "pos_emb": jax.random.normal(
+            next(keys), (cfg.max_positions, cfg.hidden), dtype
+        )
+        * 0.02,
+        "type_emb": jnp.zeros((1, cfg.hidden), dtype),
+        "emb_ln": ln(),
+        "layers": [],
+    }
+    for _ in range(cfg.layers):
+        params["layers"].append(
+            {
+                "q": dense(cfg.hidden, cfg.hidden),
+                "k": dense(cfg.hidden, cfg.hidden),
+                "v": dense(cfg.hidden, cfg.hidden),
+                "attn_out": dense(cfg.hidden, cfg.hidden),
+                "attn_ln": ln(),
+                "ffn_in": dense(cfg.hidden, cfg.intermediate),
+                "ffn_out": dense(cfg.intermediate, cfg.hidden),
+                "ffn_ln": ln(),
+            }
+        )
+    return params
+
+
+def _layer_norm(x, g, b, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (
+        jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+        + p["b"]
+    ).astype(x.dtype)
+
+
+def _attention(x, layer, mask, cfg: EncoderConfig):
+    b, s, h = x.shape
+    nh, hd = cfg.heads, cfg.hidden // cfg.heads
+    q = _dense(x, layer["q"]).reshape(b, s, nh, hd)
+    k = _dense(x, layer["k"]).reshape(b, s, nh, hd)
+    v = _dense(x, layer["v"]).reshape(b, s, nh, hd)
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits / np.sqrt(hd)
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(mask[:, None, None, :], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.astype(x.dtype).reshape(b, s, h)
+    return _dense(ctx, layer["attn_out"])
+
+
+def encode(params, cfg: EncoderConfig, input_ids, attention_mask):
+    """Forward pass -> last_hidden_state (B, S, H).
+
+    input_ids/attention_mask: (B, S) int32. Post-LN transformer matching
+    XLM-RoBERTa; position ids follow the XLM-R convention
+    (pad positions get pad_id, real tokens count from pad_id + 1).
+    """
+    mask = attention_mask.astype(bool)
+    positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask + cfg.pad_id
+    x = (
+        params["word_emb"][input_ids]
+        + params["pos_emb"][positions]
+        + params["type_emb"][jnp.zeros_like(input_ids)]
+    )
+    x = _layer_norm(x, params["emb_ln"]["g"], params["emb_ln"]["b"], cfg.layer_norm_eps)
+    for layer in params["layers"]:
+        attn = _attention(x, layer, mask, cfg)
+        x = _layer_norm(
+            x + attn, layer["attn_ln"]["g"], layer["attn_ln"]["b"], cfg.layer_norm_eps
+        )
+        ff = _dense(jax.nn.gelu(_dense(x, layer["ffn_in"]), approximate=False), layer["ffn_out"])
+        x = _layer_norm(
+            x + ff, layer["ffn_ln"]["g"], layer["ffn_ln"]["b"], cfg.layer_norm_eps
+        )
+    return x
+
+
+def mean_pool_normalize(hidden, attention_mask):
+    """Masked mean-pool + L2 normalize (reference embedding_model.py:50-53,70)."""
+    m = attention_mask[..., None].astype(hidden.dtype)
+    summed = jnp.sum(hidden * m, axis=1)
+    counts = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    pooled = summed / counts
+    return pooled / jnp.maximum(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+    )
+
+
+def cls_pool_normalize(hidden, attention_mask):
+    """CLS-token pooling + L2 normalize (bge-m3 dense vectors use CLS;
+    FlagEmbedding BGEM3 'dense_vecs' come from the CLS hidden state)."""
+    del attention_mask
+    pooled = hidden[:, 0, :]
+    return pooled / jnp.maximum(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pooling"))
+def embed_program(params, cfg: EncoderConfig, input_ids, attention_mask, pooling="mean"):
+    """The fused embed program: encoder forward + pool + normalize."""
+    hidden = encode(params, cfg, input_ids, attention_mask)
+    if pooling == "cls":
+        return cls_pool_normalize(hidden, attention_mask)
+    return mean_pool_normalize(hidden, attention_mask)
+
+
+def seq_bucket(n: int, max_len: int = 512) -> int:
+    b = 16
+    while b < n and b < max_len:
+        b <<= 1
+    return min(b, max_len)

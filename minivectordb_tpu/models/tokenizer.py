@@ -1,0 +1,70 @@
+"""Host-side tokenization.
+
+Preferred path: the HF fast tokenizer for the exact checkpoint (same
+tokenization the reference gets through transformers/FlagEmbedding,
+reference embedding_model.py:57,64). When tokenizer files are unavailable
+(offline), a deterministic hashing tokenizer with XLM-R special-token
+conventions keeps every shape/API contract working.
+"""
+
+from __future__ import annotations
+
+import re
+
+from minivectordb_tpu.rerank.hashing import murmur3_32
+
+# XLM-R special ids
+BOS_ID, PAD_ID, EOS_ID, UNK_ID = 0, 1, 2, 3
+_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+class HashTokenizer:
+    """Deterministic whitespace/punct word hashing into a fixed vocab."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str, max_length: int = 512) -> list[int]:
+        ids = [BOS_ID]
+        for tok in _WORD_RE.findall(text.lower()):
+            h = murmur3_32(tok.encode("utf-8"))
+            ids.append(4 + (h % (self.vocab_size - 4)))
+            if len(ids) >= max_length - 1:
+                break
+        ids.append(EOS_ID)
+        return ids
+
+    def __call__(self, texts, max_length: int = 512):
+        encoded = [self.encode(t, max_length) for t in texts]
+        longest = max(len(e) for e in encoded)
+        input_ids = [e + [PAD_ID] * (longest - len(e)) for e in encoded]
+        attention_mask = [[1] * len(e) + [0] * (longest - len(e)) for e in encoded]
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+
+class HFTokenizer:
+    """Thin adapter over a transformers fast tokenizer."""
+
+    def __init__(self, name_or_path: str):
+        from transformers import AutoTokenizer
+
+        self._tok = AutoTokenizer.from_pretrained(name_or_path)
+
+    def __call__(self, texts, max_length: int = 512):
+        out = self._tok(
+            list(texts), max_length=max_length, padding=True, truncation=True
+        )
+        return {
+            "input_ids": out["input_ids"],
+            "attention_mask": out["attention_mask"],
+        }
+
+
+def load_tokenizer(name_or_path: str | None, vocab_size: int):
+    """HF tokenizer when reachable, hashing fallback otherwise."""
+    if name_or_path is not None:
+        try:
+            return HFTokenizer(name_or_path), True
+        except Exception:
+            pass
+    return HashTokenizer(vocab_size), False

@@ -1,0 +1,198 @@
+"""Exact-scan search programs (XLA path).
+
+This module is the TPU-native replacement for the reference's FAISS usage:
+
+- ``faiss.IndexFlatIP`` + ``normalize_L2`` + ``index.search``
+  (reference vector_database.py:42-47, 495-507) -> one fused jitted program:
+  normalize query -> masked cosine matmul -> on-device top-k.
+- the reference's "filtered slow path" that builds a throwaway index per query
+  (reference vector_database.py:508-523) -> the same program with a boolean
+  row mask (masked rows score -inf), no index rebuild ever.
+- the usearch int8 cosine index (reference
+  sharded_vector_database_usearch.py:616-637) -> the int8-quantized variant.
+
+Design notes (TPU):
+- The corpus lives in a padded HBM buffer of power-of-two capacity so that
+  every (capacity, dim, k-bucket) combination compiles exactly once; the live
+  row count is a runtime scalar, masked via iota < count. No data-dependent
+  shapes ever reach XLA.
+- Scores are produced by a single dot_general that XLA tiles onto the MXU;
+  the per-row 1/norm multiply and validity mask fuse into the matmul epilogue.
+- Top-k runs on device in two stages for large corpora (per-tile top-k, then
+  top-k of tile winners), which is much faster than a monolithic sort at
+  N ~ 1e6; k is bucketed to powers of two to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Scores are cosine similarities in [-1, 1]; any value far below is an
+# effective -inf that can never win top-k but avoids NaN propagation.
+_MASKED_SCORE = np.float32(-3.0e38)
+
+# Two-stage top-k kicks in above this corpus size (tuned on v5e).
+_TWO_STAGE_MIN_ROWS = 1 << 17
+_TWO_STAGE_TILE = 1 << 13
+
+
+def k_bucket(search_k: int, capacity: int) -> int:
+    """Round k up to a power of two (bounds jit cache size)."""
+    b = 1
+    while b < search_k:
+        b <<= 1
+    return min(b, capacity)
+
+
+def capacity_bucket(n: int, minimum: int = 1024) -> int:
+    """Round a row count up to a power-of-two HBM buffer capacity."""
+    c = minimum
+    while c < n:
+        c <<= 1
+    return c
+
+
+def _normalize(q: jax.Array) -> jax.Array:
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(n, 1e-30)
+
+
+def topk_last_axis(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k along the last axis; two-stage for large rows.
+
+    scores: (..., C). Returns (values, indices) each (..., k), descending,
+    ties broken toward the lower index (matching jax.lax.top_k and FAISS).
+    """
+    c = scores.shape[-1]
+    if c >= _TWO_STAGE_MIN_ROWS and k <= _TWO_STAGE_TILE // 8 and c % _TWO_STAGE_TILE == 0:
+        tiles = c // _TWO_STAGE_TILE
+        lead = scores.shape[:-1]
+        tiled = scores.reshape(lead + (tiles, _TWO_STAGE_TILE))
+        tile_vals, tile_idx = jax.lax.top_k(tiled, k)  # (..., tiles, k)
+        base = (
+            jax.lax.broadcasted_iota(jnp.int32, (tiles, k), 0) * _TWO_STAGE_TILE
+        )
+        glob_idx = tile_idx + base  # (..., tiles, k)
+        flat_vals = tile_vals.reshape(lead + (tiles * k,))
+        flat_idx = glob_idx.reshape(lead + (tiles * k,))
+        vals, pos = jax.lax.top_k(flat_vals, k)
+        idx = jnp.take_along_axis(flat_idx, pos, axis=-1)
+        return vals, idx
+    return jax.lax.top_k(scores, k)
+
+
+# ---------------------------------------------------------------------------
+# float32 / bfloat16 cosine scan
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def scan_topk(buf, inv_norms, q, count, k, mask=None):
+    """Fused cosine scan + top-k for a batch of queries.
+
+    buf:       (C, d) float32 or bfloat16 — padded corpus, raw (unnormalized)
+    inv_norms: (C,)   float32 — 1/||row||  (0 for zero rows)
+    q:         (B, d) float32 — raw queries
+    count:     scalar int32 — number of live rows (<= C)
+    mask:      optional (C,) bool — candidate rows (filtered search)
+
+    Returns (values (B, k) float32, indices (B, k) int32), descending cosine.
+    """
+    c = buf.shape[0]
+    qn = _normalize(q.astype(jnp.float32)).astype(buf.dtype)
+    # (B, d) x (C, d) -> (B, C); MXU matmul with f32 accumulation.
+    scores = jax.lax.dot_general(
+        qn,
+        buf,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * inv_norms[None, :]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) < count
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask[None, :])
+    scores = jnp.where(valid, scores, _MASKED_SCORE)
+    vals, idx = topk_last_axis(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# int8 cosine scan (usearch-equivalent)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def scan_topk_int8(buf_i8, inv_norms_i8, q, count, k, mask=None):
+    """Int8 symmetric-quantized cosine scan + top-k.
+
+    buf_i8:       (C, d) int8 — per-row symmetric-quantized corpus
+    inv_norms_i8: (C,) float32 — 1/||int8 row||  (0 for zero rows)
+    q:            (B, d) float32
+
+    Cosine of the quantized vectors: (qi . ri) / (||qi|| ||ri||), matching the
+    usearch `metric='cos', dtype='i8'` behavior the reference relies on
+    (sharded_vector_database_usearch.py:621-627). Returns similarities.
+    """
+    c = buf_i8.shape[0]
+    qf = q.astype(jnp.float32)
+    qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qscale = jnp.maximum(qmax, 1e-30) / 127.0
+    qi = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+    q_inv_norm = 1.0 / jnp.maximum(
+        jnp.linalg.norm(qi.astype(jnp.float32), axis=-1, keepdims=True), 1e-30
+    )
+    dots = jax.lax.dot_general(
+        qi,
+        buf_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    scores = dots * q_inv_norm * inv_norms_i8[None, :]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) < count
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask[None, :])
+    scores = jnp.where(valid, scores, _MASKED_SCORE)
+    vals, idx = topk_last_axis(scores, k)
+    return vals, idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Incremental device-buffer maintenance
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def row_inv_norms(rows):
+    """1/||row|| per row, 0 for all-zero rows. rows: (n, d) f32 -> (n,) f32."""
+    sq = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
+    return jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-38)), 0.0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def update_rows(buf, inv_norms, rows, start):
+    """Write `rows` into buf[start:start+n] in place (donated buffers).
+
+    Replaces the reference's full-index rebuild on every mutation
+    (vector_database.py:42-47): only the changed row range is touched.
+    """
+    rows = rows.astype(buf.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+    inorm = row_inv_norms(rows.astype(jnp.float32))
+    inv_norms = jax.lax.dynamic_update_slice(inv_norms, inorm, (start,))
+    return buf, inv_norms
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def update_rows_int8(buf_i8, inv_norms_i8, rows, start):
+    """Quantize `rows` (f32) to int8 and write in place at `start`."""
+    rmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+    rscale = jnp.maximum(rmax, 1e-30) / 127.0
+    ri = jnp.clip(jnp.round(rows / rscale), -127, 127).astype(jnp.int8)
+    buf_i8 = jax.lax.dynamic_update_slice(buf_i8, ri, (start, 0))
+    inorm = row_inv_norms(ri.astype(jnp.float32))
+    inv_norms_i8 = jax.lax.dynamic_update_slice(inv_norms_i8, inorm, (start,))
+    return buf_i8, inv_norms_i8

@@ -1,0 +1,40 @@
+"""Device-mesh helpers.
+
+The reference is single-process/single-node (SURVEY.md §2c: no NCCL/MPI/Gloo
+anywhere); its "shards" are pickle files. Here the TPU-native equivalent is a
+1-D ``jax.sharding.Mesh`` over the corpus-row axis (search data parallelism)
+and a 2-D (dp, tp) mesh for encoder training (parallel/../models/train.py).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh
+
+
+SHARD_AXIS = "shards"  # corpus-row partition axis (search DP)
+DP_AXIS = "dp"  # batch axis (training)
+TP_AXIS = "tp"  # hidden/head axis (training tensor parallelism)
+
+
+def search_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over all (or the first n) local devices for sharded search."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (SHARD_AXIS,))
+
+
+def train_mesh(n_devices: int | None = None, tp: int = 2) -> Mesh:
+    """2-D (dp, tp) mesh for encoder training."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    while tp > 1 and n % tp != 0:
+        tp //= 2
+    import numpy as np
+
+    return Mesh(np.asarray(devices).reshape(n // tp, tp), (DP_AXIS, TP_AXIS))

@@ -1,0 +1,208 @@
+"""ShardedVectorDatabase — TPU-native sharded engine.
+
+API- and storage-compatible with the reference ShardedVectorDatabase
+(reference sharded_vector_database.py:8-662): same constructor
+(storage_dir, shard_size), same public attributes (embeddings, metadata,
+unique_ids, inverse_id_map, inverted_index, box_item_map,
+inverse_box_item_map), same write-through ``shard_<N>.pkl`` persistence with
+identical pickle schema (so shard directories written by the reference load
+here and vice versa), batch-only delete, and the flat-db migration helper.
+
+TPU-first design: shards are purely a *persistence* unit. Search runs over
+the packed global device matrix via the same fused masked-scan program as the
+flat engine (the reference also searches globally — its shards are never
+searched independently, SURVEY.md §2c). On a multi-chip mesh the row
+dimension is partitioned per device with shard-local top-k + ICI all-gather
+merge (parallel/dist_scan.py) — true data-parallel search the reference
+never had.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from minivectordb_tpu.core import engine as engine_mod
+from minivectordb_tpu.core.engine import SearchEngine
+from minivectordb_tpu.core.sharding import ShardRegistry
+from minivectordb_tpu.rerank.hybrid import hybrid_rerank_results as _hybrid_rerank
+
+
+class ShardedVectorDatabase:
+    _device_dtype = "float32"
+    _default_storage_dir = "db_shards"
+
+    def __init__(self, storage_dir: str | None = None, shard_size: int = 5000):
+        self.storage_dir = storage_dir or self._default_storage_dir
+        self.shard_size = shard_size
+        self._engine = SearchEngine(device_dtype=self._device_dtype)
+        self._shards = ShardRegistry(self.storage_dir, shard_size)
+        self._load_database()
+
+    # -- reference-compatible attributes -----------------------------------
+
+    @property
+    def embedding_size(self):
+        return self._engine.embedding_size
+
+    @property
+    def embeddings(self):
+        return self._engine.embeddings_view
+
+    @property
+    def metadata(self):
+        return self._engine.metadata
+
+    @property
+    def unique_ids(self) -> list:
+        return self._engine.uids
+
+    @property
+    def inverse_id_map(self) -> dict:
+        return self._engine.inverse_id_map
+
+    @property
+    def inverted_index(self):
+        return self._engine.inverted_index
+
+    @property
+    def box_item_map(self) -> dict:
+        return self._shards.box_item_map
+
+    @property
+    def inverse_box_item_map(self) -> dict:
+        return self._shards.inverse_box_item_map
+
+    @property
+    def lock(self):
+        return self._engine.lock
+
+    # -- load / migration --------------------------------------------------
+
+    def _load_database(self) -> None:
+        all_embeddings, uids, metadatas = [], [], []
+        with self._engine.lock:
+            for shard_file in self._shards.shard_files_sorted():
+                data = self._shards.read_shard_file(shard_file)
+                if len(data["unique_ids"]):
+                    all_embeddings.append(
+                        np.asarray(data["embeddings"], dtype=np.float32)
+                    )
+                metadatas.extend(data["metadata"])
+                uids.extend(data["unique_ids"])
+                self._shards.register_loaded(shard_file, data["unique_ids"])
+            if uids:
+                matrix = np.vstack(all_embeddings)
+                self._engine.load(matrix, uids, metadatas)
+
+    def _convert_from_non_sharded_db(self, non_sharded_db_object) -> None:
+        """Migrate a flat VectorDatabase into this sharded one
+        (reference sharded_vector_database.py:26-33)."""
+        embeddings = non_sharded_db_object.embeddings
+        metadata = non_sharded_db_object.metadata
+        id_map = non_sharded_db_object.id_map
+        unique_ids = [id_map[i] for i in range(len(embeddings))]
+        self.store_embeddings_batch(unique_ids, embeddings, list(metadata))
+        del non_sharded_db_object
+
+    # -- CRUD (write-through) ----------------------------------------------
+
+    def get_vector(self, unique_id) -> np.ndarray:
+        with self._engine.lock:
+            if unique_id not in self._engine.inverse_id_map:
+                raise ValueError("Unique ID does not exist.")
+            return self._shards.read_vector(
+                unique_id, self._engine.inverse_id_map[unique_id], self._engine.uids
+            )
+
+    def store_embedding(self, unique_id, embedding, metadata_dict=None) -> None:
+        metadata_dict = {} if metadata_dict is None else metadata_dict
+        with self._engine.lock:
+            self._engine.add_one(unique_id, embedding, metadata_dict)
+            shard_id = self._shards.place(unique_id)
+            self._shards.append_to_shard(
+                shard_id,
+                [unique_id],
+                np.asarray(embedding, dtype=np.float32)[None, :],
+                [metadata_dict],
+                self._engine.embedding_size,
+            )
+
+    def store_embeddings_batch(self, unique_ids: list, embeddings, metadata_dicts=None):
+        metadata_dicts = [] if metadata_dicts is None else metadata_dicts
+        with self._engine.lock:
+            if len(unique_ids) != len(embeddings):
+                raise ValueError(
+                    "Number of unique IDs must match number of embeddings."
+                )
+            if len(metadata_dicts) < len(unique_ids):
+                metadata_dicts = list(metadata_dicts) + [
+                    {} for _ in range(len(unique_ids) - len(metadata_dicts))
+                ]
+            self._engine.add_batch(list(unique_ids), embeddings, list(metadata_dicts))
+            # group consecutive placements by shard, then one write per shard
+            groups: dict[int, list[int]] = {}
+            for i, uid in enumerate(unique_ids):
+                shard_id = self._shards.place(uid)
+                groups.setdefault(shard_id, []).append(i)
+            for shard_id, idxs in groups.items():
+                self._shards.append_to_shard(
+                    shard_id,
+                    [unique_ids[i] for i in idxs],
+                    np.asarray(
+                        [np.asarray(embeddings[i], dtype=np.float32) for i in idxs]
+                    ),
+                    [metadata_dicts[i] for i in idxs],
+                    self._engine.embedding_size,
+                )
+
+    def delete_embeddings_batch(self, unique_ids) -> None:
+        with self._engine.lock:
+            if not isinstance(unique_ids, list):
+                unique_ids = [unique_ids]
+            if not unique_ids:
+                raise ValueError("No unique IDs provided.")
+            if not all(uid in self._engine.inverse_id_map for uid in unique_ids):
+                raise ValueError("One or more unique IDs do not exist.")
+            unique_ids = [uid for uid in unique_ids if uid is not None]
+            shard_groups: dict[int, list] = {}
+            for uid in unique_ids:
+                shard_groups.setdefault(
+                    self._shards.inverse_box_item_map[uid], []
+                ).append(uid)
+            for shard_id, shard_uids in shard_groups.items():
+                self._shards.remove_from_shard(shard_id, shard_uids)
+            self._engine.delete_many(unique_ids)
+
+    # -- search ------------------------------------------------------------
+
+    def find_most_similar(
+        self,
+        embedding,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+        autocut: bool = False,
+    ):
+        ids, distances, metadatas = self._engine.search(
+            embedding,
+            metadata_filter=metadata_filter,
+            exclude_filter=exclude_filter,
+            or_filters=or_filters,
+            k=k,
+        )
+        if autocut and len(distances) > 1:
+            remove = self.autocut_scores(distances)
+            ids, distances, metadatas = engine_mod.apply_autocut(
+                remove, ids, distances, metadatas
+            )
+        return ids, distances, metadatas
+
+    # -- rerank / autocut --------------------------------------------------
+
+    def hybrid_rerank_results(self, sentences, search_scores, query, k=5,
+                              weights=(0.80, 0.15, 0.05)):
+        return _hybrid_rerank(sentences, search_scores, query, k=k, weights=weights)
+
+    def autocut_scores(self, score_list):
+        return engine_mod.autocut_scores(score_list)

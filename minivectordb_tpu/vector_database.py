@@ -1,0 +1,218 @@
+"""Flat (single-file) vector database — TPU-native VectorDatabase.
+
+API- and persistence-compatible with the reference ``VectorDatabase``
+(reference vector_database.py:7-548): same constructor, same public methods
+and attributes, same pickle schema
+({embeddings, metadata, id_map, inverse_id_map, inverted_index}) and the same
+implicit auto-load on construction.
+
+What changed underneath (TPU-first design):
+- no FAISS index: searches run as one fused jitted program (masked cosine
+  matmul + on-device top-k) over an HBM-resident packed matrix
+  (core/engine.py, ops/scan.py); there is nothing to rebuild on mutation,
+  only a dirty row range to re-upload.
+- inserts are O(1) amortized into a preallocated buffer instead of the
+  reference's O(N*d) np.vstack per insert (vector_database.py:72).
+- filtered search applies a boolean row mask on device instead of building a
+  throwaway index per query (vector_database.py:508-523).
+- stored embeddings stay RAW: the reference's ``_build_index`` L2-normalizes
+  the stored matrix in place (vector_database.py:45), so after any search its
+  ``get_vector``/pickle observe normalized rows; here normalization happens
+  inside the device program and stored rows are returned as stored.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+
+from minivectordb_tpu.core import engine as engine_mod
+from minivectordb_tpu.core.engine import SearchEngine
+from minivectordb_tpu.rerank.hybrid import hybrid_rerank_results as _hybrid_rerank
+
+
+class VectorDatabase:
+    def __init__(self, storage_file: str = "db.pkl", device_dtype: str = "float32"):
+        self.storage_file = storage_file
+        self._engine = SearchEngine(device_dtype=device_dtype)
+        self._load_database()
+
+    # -- reference-compatible attributes -----------------------------------
+
+    @property
+    def embedding_size(self):
+        return self._engine.embedding_size
+
+    @property
+    def embeddings(self):
+        return self._engine.embeddings_view
+
+    @property
+    def metadata(self):
+        return self._engine.metadata
+
+    @property
+    def id_map(self) -> dict:
+        """row -> unique id (reference vector_database.py:14)."""
+        return {i: uid for i, uid in enumerate(self._engine.uids)}
+
+    @property
+    def inverse_id_map(self) -> dict:
+        return self._engine.inverse_id_map
+
+    @property
+    def inverted_index(self):
+        return self._engine.inverted_index
+
+    @property
+    def lock(self):
+        return self._engine.lock
+
+    # -- persistence -------------------------------------------------------
+
+    def _load_database(self) -> None:
+        if not os.path.exists(self.storage_file):
+            return
+        with self._engine.lock:
+            with open(self.storage_file, "rb") as f:
+                data = pickle.load(f)
+            embeddings = data["embeddings"]
+            id_map = data["id_map"]
+            uids = [id_map[i] for i in sorted(id_map.keys())]
+            self._engine.load(
+                embeddings,
+                uids,
+                data["metadata"],
+                data.get("inverted_index", defaultdict(set)),
+            )
+
+    def persist_to_disk(self) -> None:
+        """Pickle snapshot, schema-compatible with the reference
+        (vector_database.py:538-548)."""
+        with self._engine.lock:
+            data = {
+                "embeddings": None
+                if self._engine.store is None
+                else np.array(self._engine.embeddings_view),
+                "metadata": list(self._engine.metadata),
+                "id_map": self.id_map,
+                "inverse_id_map": dict(self._engine.inverse_id_map),
+                "inverted_index": self._engine.inverted_index,
+            }
+        with open(self.storage_file, "wb") as f:
+            pickle.dump(data, f)
+
+    # -- CRUD --------------------------------------------------------------
+
+    def get_vector(self, unique_id) -> np.ndarray:
+        with self._engine.lock:
+            return self._engine.get_row(unique_id)
+
+    def store_embedding(self, unique_id, embedding, metadata_dict=None) -> None:
+        metadata_dict = {} if metadata_dict is None else metadata_dict
+        with self._engine.lock:
+            self._engine.add_one(unique_id, embedding, metadata_dict)
+
+    def store_embeddings_batch(self, unique_ids, embeddings, metadata_dicts=None):
+        metadata_dicts = [] if metadata_dicts is None else metadata_dicts
+        with self._engine.lock:
+            if 0 < len(metadata_dicts) < len(unique_ids):
+                raise ValueError(
+                    "Metadata dictionaries must be provided for all unique IDs."
+                )
+            if len(metadata_dicts) == 0:
+                metadata_dicts = [{} for _ in unique_ids]
+            self._engine.add_batch(list(unique_ids), embeddings, list(metadata_dicts))
+
+    def delete_embedding(self, unique_id) -> None:
+        if unique_id not in self._engine.inverse_id_map:
+            raise ValueError("Unique ID does not exist.")
+        with self._engine.lock:
+            # re-check under the lock (the reference's pre-lock check is a
+            # benign-by-luck race, SURVEY.md §5)
+            if unique_id not in self._engine.inverse_id_map:
+                raise ValueError("Unique ID does not exist.")
+            self._engine.delete_many([unique_id])
+
+    # -- search ------------------------------------------------------------
+
+    def find_most_similar(
+        self,
+        embedding,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+        autocut: bool = False,
+    ):
+        """Top-k cosine search with mongo-like filtering.
+
+        Returns (ids, distances, metadatas); "distances" are cosine
+        similarities (higher is better), as in the reference FAISS-IP path
+        (vector_database.py:466-536).
+        """
+        ids, distances, metadatas = self._engine.search(
+            embedding,
+            metadata_filter=metadata_filter,
+            exclude_filter=exclude_filter,
+            or_filters=or_filters,
+            k=k,
+        )
+        if autocut and len(distances) > 1:
+            remove = self.autocut_scores(distances)
+            ids, distances, metadatas = engine_mod.apply_autocut(
+                remove, ids, distances, metadatas
+            )
+        return ids, distances, metadatas
+
+    def find_most_similar_batch(
+        self,
+        embeddings,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+    ):
+        """Batched search (no reference equivalent — the reference is
+        strictly one query per call). Returns a list of (ids, distances,
+        metadatas) triples, one per query; filters apply to every query."""
+        q = np.asarray(embeddings, dtype=np.float32)
+        eng = self._engine
+        if eng.store is None or eng.count == 0:
+            return [([], [], [])] * q.shape[0]
+        from minivectordb_tpu.filters.engine import get_filtered_rows
+
+        with eng.lock:
+            filtered = get_filtered_rows(
+                eng._filter_context(), metadata_filter, exclude_filter, or_filters
+            )
+            if not filtered:
+                return [([], [], [])] * q.shape[0]
+            search_k = min(k, len(filtered))
+            mask = None
+            if len(filtered) != eng.count:
+                mask = np.zeros(eng.count, dtype=bool)
+                mask[list(filtered)] = True
+            vals, idx = eng.store.search(q, search_k, mask)
+            uids, metadata = eng.uids, eng.metadata
+        out = []
+        for b in range(q.shape[0]):
+            found = [
+                (uids[row], np.float32(score), metadata[row])
+                for score, row in zip(vals[b], idx[b])
+                if score >= -1.0e38
+            ]
+            out.append(tuple(zip(*found)) if found else ([], [], []))
+        return out
+
+    # -- rerank / autocut --------------------------------------------------
+
+    def hybrid_rerank_results(self, sentences, search_scores, query, k=5,
+                              weights=(0.80, 0.15, 0.05)):
+        return _hybrid_rerank(sentences, search_scores, query, k=k, weights=weights)
+
+    def autocut_scores(self, score_list):
+        return engine_mod.autocut_scores(score_list)

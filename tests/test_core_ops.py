@@ -1,0 +1,109 @@
+"""Unit tests for the device scan/store internals against numpy oracles."""
+
+import numpy as np
+import pytest
+
+from minivectordb_tpu.core.store import VectorStore
+from minivectordb_tpu.ops import scan as scan_ops
+
+
+def _cosine_oracle(mat, q):
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf
+    return (mat @ qn) / norms
+
+
+def test_scan_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((777, 48)).astype(np.float32)
+    q = rng.standard_normal(48).astype(np.float32)
+    store = VectorStore(48)
+    store.append(mat)
+    vals, idx = store.search(q[None], k=10)
+    oracle = _cosine_oracle(mat, q)
+    expected = np.argsort(-oracle)[:10]
+    np.testing.assert_array_equal(idx[0], expected)
+    np.testing.assert_allclose(vals[0], oracle[expected], rtol=1e-5, atol=1e-5)
+
+
+def test_masked_scan_excludes_rows():
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((300, 16)).astype(np.float32)
+    q = rng.standard_normal(16).astype(np.float32)
+    store = VectorStore(16)
+    store.append(mat)
+    mask = np.zeros(300, dtype=bool)
+    allowed = [5, 50, 100, 299]
+    mask[allowed] = True
+    vals, idx = store.search(q[None], k=4, mask=mask)
+    assert set(idx[0].tolist()) == set(allowed)
+    oracle = _cosine_oracle(mat, q)
+    order = sorted(allowed, key=lambda r: -oracle[r])
+    np.testing.assert_array_equal(idx[0], order)
+
+
+def test_incremental_append_and_delete_consistency():
+    rng = np.random.default_rng(2)
+    store = VectorStore(8)
+    ref = np.zeros((0, 8), dtype=np.float32)
+    for step in range(5):
+        batch = rng.standard_normal((rng.integers(1, 40), 8)).astype(np.float32)
+        store.append(batch)
+        ref = np.vstack([ref, batch])
+        # interleave a delete
+        if step % 2 == 1 and ref.shape[0] > 3:
+            doomed = [0, ref.shape[0] // 2]
+            store.delete_rows(doomed)
+            ref = np.delete(ref, doomed, axis=0)
+        q = rng.standard_normal(8).astype(np.float32)
+        vals, idx = store.search(q[None], k=min(5, ref.shape[0]))
+        oracle = _cosine_oracle(ref, q)
+        expected = np.argsort(-oracle)[: min(5, ref.shape[0])]
+        np.testing.assert_array_equal(idx[0], expected)
+        np.testing.assert_array_equal(store.view(), ref)
+
+
+def test_capacity_growth_across_bucket_boundary():
+    rng = np.random.default_rng(3)
+    store = VectorStore(4)
+    mat = rng.standard_normal((1500, 4)).astype(np.float32)  # crosses 1024
+    store.append(mat[:1000])
+    store.append(mat[1000:])
+    assert store.count == 1500
+    assert store.capacity == 2048
+    q = rng.standard_normal(4).astype(np.float32)
+    vals, idx = store.search(q[None], k=3)
+    oracle = _cosine_oracle(mat, q)
+    np.testing.assert_array_equal(idx[0], np.argsort(-oracle)[:3])
+
+
+def test_int8_store_approximates_cosine():
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((500, 64)).astype(np.float32)
+    q = rng.standard_normal(64).astype(np.float32)
+    store = VectorStore(64, device_dtype="int8")
+    store.append(mat)
+    vals, idx = store.search(q[None], k=5)
+    oracle = _cosine_oracle(mat, q)
+    # int8 quantization: top-1 should agree, scores close
+    assert idx[0][0] == np.argmax(oracle)
+    np.testing.assert_allclose(vals[0], oracle[idx[0]], atol=0.03)
+
+
+def test_two_stage_topk_matches_plain():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    scores = rng.standard_normal(1 << 18).astype(np.float32)
+    vals, idx = scan_ops.topk_last_axis(jnp.asarray(scores), 7)
+    expected = np.argsort(-scores)[:7]
+    np.testing.assert_array_equal(np.asarray(idx), expected)
+    np.testing.assert_allclose(np.asarray(vals), scores[expected])
+
+
+def test_k_bucketing():
+    assert scan_ops.k_bucket(1, 1024) == 1
+    assert scan_ops.k_bucket(3, 1024) == 4
+    assert scan_ops.k_bucket(1000, 1024) == 1024
+    assert scan_ops.k_bucket(5000, 1024) == 1024

@@ -1,0 +1,79 @@
+"""EmbeddingModel suite — ported from reference tests/test_embedding_model.py
+(same backend/dimensionality contracts), plus batch-API coverage."""
+
+import numpy as np
+
+from minivectordb_tpu.embedding_model import AlternativeModel, EmbeddingModel
+
+
+def test_load_onnx_model():
+    quant_model = EmbeddingModel(use_quantized_onnx_model=True)
+    assert quant_model.model is not None, "Builtin model should be loaded"
+    embedding = quant_model.extract_embeddings("This is a sample text")
+    assert embedding is not None
+    embedding = quant_model.extract_embeddings("This is a sample text")
+    assert len(embedding) == 512
+
+
+def test_load_onnx_model_custom_cpu_core_count():
+    quant_model = EmbeddingModel(use_quantized_onnx_model=True, onnx_model_cpu_core_count=1)
+    assert quant_model.model is not None
+    embedding = quant_model.extract_embeddings("This is a sample text")
+    assert embedding is not None
+    assert len(embedding) == 512
+
+
+def test_load_small_alternative_model():
+    m = EmbeddingModel(
+        use_quantized_onnx_model=False, alternative_model=AlternativeModel.small
+    )
+    assert m.model is not None
+    embedding = m.extract_embeddings("This is a sample text")
+    assert embedding is not None
+    assert len(embedding) == 384
+
+
+def test_load_small_alternative_model_retrocompatibility_args():
+    m = EmbeddingModel(use_quantized_onnx_model=False, e5_model_size="small")
+    assert m.model is not None
+    embedding = m.extract_embeddings("This is a sample text")
+    assert embedding is not None
+    assert len(embedding) == 384
+
+
+def test_load_large_alternative_model():
+    m = EmbeddingModel(
+        use_quantized_onnx_model=False, alternative_model=AlternativeModel.large
+    )
+    assert m.model is not None
+    embedding = m.extract_embeddings("This is a sample text")
+    assert embedding is not None
+    assert len(embedding) == 1024
+
+
+def test_load_bgem3_alternative_model():
+    m = EmbeddingModel(
+        use_quantized_onnx_model=False, alternative_model=AlternativeModel.bgem3
+    )
+    assert m.model is not None
+    embedding = m.extract_embeddings("This is a sample text")
+    assert embedding is not None
+    assert len(embedding) == 1024
+
+
+def test_embeddings_deterministic_and_normalized():
+    m = EmbeddingModel(use_quantized_onnx_model=True)
+    e1 = np.asarray(m.extract_embeddings("determinism check"))
+    e2 = np.asarray(m.extract_embeddings("determinism check"))
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
+    assert abs(np.linalg.norm(e1) - 1.0) < 1e-3
+
+
+def test_batch_embedding_matches_single():
+    m = EmbeddingModel(use_quantized_onnx_model=True)
+    texts = ["first text", "a different second text", "third"]
+    batch = m.extract_embeddings_batch(texts)
+    assert batch.shape == (3, 512)
+    for i, t in enumerate(texts):
+        single = np.asarray(m.extract_embeddings(t))
+        np.testing.assert_allclose(batch[i], single, rtol=2e-2, atol=2e-2)
