@@ -25,13 +25,15 @@ from minivectordb_tpu.filters.engine import (
     MetadataIndex,
     get_filtered_rows,
 )
+from minivectordb_tpu.utils.telemetry import Telemetry
 
 
 class SearchEngine:
     """Row-packed corpus + id maps + metadata index + masked device search."""
 
-    def __init__(self, device_dtype: str = "float32"):
+    def __init__(self, device_dtype: str = "float32", search_mode: str = "exact"):
         self.device_dtype = device_dtype
+        self.search_mode = search_mode  # 'exact' | 'approx' (TPU ApproxTopK)
         self.embedding_size: int | None = None
         self.store: VectorStore | None = None
         self.uids: list = []  # row -> unique id
@@ -39,6 +41,7 @@ class SearchEngine:
         self.metadata: list = []  # row -> metadata dict
         self.meta_index = MetadataIndex()
         self.lock = threading.RLock()
+        self.telemetry = Telemetry()
 
     # -- introspection -----------------------------------------------------
 
@@ -179,9 +182,10 @@ class SearchEngine:
         q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
 
         with self.lock:
-            filtered = get_filtered_rows(
-                self._filter_context(), metadata_filter, exclude_filter, or_filters
-            )
+            with self.telemetry.timed("filter"):
+                filtered = get_filtered_rows(
+                    self._filter_context(), metadata_filter, exclude_filter, or_filters
+                )
             if not filtered:
                 return [], [], []
             search_k = min(k, len(filtered))
@@ -189,7 +193,10 @@ class SearchEngine:
             if len(filtered) != self.count:
                 mask = np.zeros(self.count, dtype=bool)
                 mask[np.fromiter(filtered, dtype=np.int64, count=len(filtered))] = True
-            vals, idx = self.store.search(q, search_k, mask)
+            with self.telemetry.timed("device_scan"):
+                vals, idx = self.store.search(
+                    q, search_k, mask, mode=self.search_mode
+                )
             # Snapshot row-aligned structures before releasing the lock.
             uids, metadata = self.uids, self.metadata
 

@@ -184,6 +184,7 @@ class VectorStore:
         queries: np.ndarray,
         k: int,
         mask: np.ndarray | None = None,
+        mode: str = "exact",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k cosine search. queries: (B, d); returns (scores, indices) (B, k).
 
@@ -201,10 +202,12 @@ class VectorStore:
             mask_dev = jnp.asarray(padded)
         if self.device_dtype == "int8":
             vals, idx = scan_ops.scan_topk_int8(
-                buf, inv_norms, q, count, kb, mask_dev
+                buf, inv_norms, q, count, kb, mask_dev, mode
             )
         else:
-            vals, idx = scan_ops.scan_topk(buf, inv_norms, q, count, kb, mask_dev)
+            vals, idx = scan_ops.scan_topk(
+                buf, inv_norms, q, count, kb, mask_dev, mode
+            )
         vals = np.asarray(vals)[:, :k]
         idx = np.asarray(idx)[:, :k]
         return vals, idx

@@ -1,0 +1,158 @@
+"""IVF (inverted-file) coarse-quantized search, TPU-native.
+
+The reference has no ANN index at all (exact FAISS/usearch scans only); the
+north-star benchmark config 5 (BASELINE.md: 1M x 1024, IVF coarse-quantized,
+shard-per-chip) requires one. This is an IVF-flat design laid out for XLA's
+static-shape world:
+
+- k-means trained on device (Lloyd iterations, all matmuls on the MXU);
+- the corpus is re-packed CLUSTER-MAJOR into a dense (nlist, P, d) tensor,
+  each list padded to the same capacity P (valid-mask carried alongside), so
+  a probe is a static gather + batched matmul, never a ragged loop;
+- query: score centroids -> top-nprobe lists -> gather (nprobe, P, d) ->
+  masked scan + top-k. One fused jitted program end-to-end.
+
+Recall is tunable via nprobe; with nprobe = nlist the search is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MASKED_SCORE = np.float32(-3.0e38)
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters"))
+def _kmeans_device(data, key, nlist, iters):
+    """Spherical k-means (cosine) on device. data: (n, d) f32, L2-normalized."""
+    n = data.shape[0]
+    idx = jax.random.choice(key, n, shape=(nlist,), replace=False)
+    centroids = data[idx]
+
+    def step(carry, _):
+        cent = carry
+        # assign: (n, nlist) similarity -> argmax
+        sims = jnp.dot(data, cent.T, preferred_element_type=jnp.float32)
+        assign = jnp.argmax(sims, axis=1)
+        one_hot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)  # (n, nlist)
+        sums = jnp.dot(one_hot.T, data, preferred_element_type=jnp.float32)
+        counts = jnp.sum(one_hot, axis=0)[:, None]
+        new_cent = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cent)
+        norms = jnp.linalg.norm(new_cent, axis=1, keepdims=True)
+        new_cent = new_cent / jnp.maximum(norms, 1e-30)
+        return new_cent, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
+    return centroids, jnp.argmax(sims, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
+    """centroids (L, d); lists (L, P, d) bf16/f32; list_ids (L, P) int32;
+    list_valid (L, P) bool; q (B, d) f32. Returns (B, k) scores + global ids.
+
+    Queries are processed via lax.map so the gathered probe set stays at
+    (nprobe, P, d) per step — a batched gather would materialize
+    B * nprobe * P * d floats at once.
+    """
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    def one(query):
+        cscores = jnp.dot(centroids, query, preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(cscores, nprobe)  # (nprobe,)
+        cand = lists[probe]  # (nprobe, P, d)
+        cand_ids = list_ids[probe]
+        cand_valid = list_valid[probe]
+        scores = jnp.einsum(
+            "d,npd->np",
+            query.astype(cand.dtype),
+            cand,
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(cand_valid, scores, _MASKED_SCORE)
+        vals, pos = jax.lax.top_k(scores.reshape(-1), k)
+        ids = cand_ids.reshape(-1)[pos]
+        return vals, ids
+
+    return jax.lax.map(one, qn)
+
+
+class IVFIndex:
+    """Cluster-major padded IVF-flat index over a fixed corpus snapshot.
+
+    Built once from the packed matrix (bulk path — incremental inserts go to
+    the exact scan until the next build, like classic IVF train/add).
+    """
+
+    def __init__(self, nlist: int = 1024, nprobe: int = 32, iters: int = 10,
+                 device_dtype: str = "float32", seed: int = 0):
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.iters = iters
+        self.device_dtype = device_dtype
+        self.seed = seed
+        self.centroids = None
+        self._lists = None
+        self._list_ids = None
+        self._list_valid = None
+        self.pad_len = 0
+        self.count = 0
+
+    def build(self, matrix: np.ndarray) -> None:
+        matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+        n, d = matrix.shape
+        self.count = n
+        norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+        unit = matrix / np.maximum(norms, 1e-30)
+        nlist = min(self.nlist, max(1, n // 4))
+        data = jnp.asarray(unit)
+        key = jax.random.PRNGKey(self.seed)
+        centroids, assign = _kmeans_device(data, key, nlist, self.iters)
+        assign = np.asarray(assign)
+        self.centroids = centroids
+
+        # cluster-major re-pack with uniform padding
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        counts = np.bincount(sorted_assign, minlength=nlist)
+        pad = int(max(1, counts.max()))
+        # round pad to a multiple of 8 (f32 sublane) for clean tiling
+        pad = (pad + 7) // 8 * 8
+        self.pad_len = pad
+
+        lists = np.zeros((nlist, pad, d), dtype=np.float32)
+        list_ids = np.zeros((nlist, pad), dtype=np.int32)
+        valid = np.zeros((nlist, pad), dtype=bool)
+        start = 0
+        for c in range(nlist):
+            cnt = counts[c]
+            rows = order[start : start + cnt]
+            lists[c, :cnt] = unit[rows]  # store normalized: IP == cosine
+            list_ids[c, :cnt] = rows
+            valid[c, :cnt] = True
+            start += cnt
+        dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" else jnp.float32
+        self._lists = jnp.asarray(lists, dtype=dtype)
+        self._list_ids = jnp.asarray(list_ids)
+        self._list_valid = jnp.asarray(valid)
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+        nprobe = self.nprobe if nprobe is None else nprobe
+        nprobe = min(nprobe, int(self.centroids.shape[0]))
+        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        kk = min(k, self.count)
+        vals, ids = _ivf_search(
+            self.centroids,
+            self._lists,
+            self._list_ids,
+            self._list_valid,
+            q,
+            nprobe,
+            kk,
+        )
+        return np.asarray(vals), np.asarray(ids)

@@ -35,9 +35,6 @@ import numpy as np
 # effective -inf that can never win top-k but avoids NaN propagation.
 _MASKED_SCORE = np.float32(-3.0e38)
 
-# Two-stage top-k kicks in above this corpus size (tuned on v5e).
-_TWO_STAGE_MIN_ROWS = 1 << 17
-_TWO_STAGE_TILE = 1 << 13
 
 
 def k_bucket(search_k: int, capacity: int) -> int:
@@ -61,27 +58,21 @@ def _normalize(q: jax.Array) -> jax.Array:
     return q / jnp.maximum(n, 1e-30)
 
 
-def topk_last_axis(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
-    """Top-k along the last axis; two-stage for large rows.
+def topk_last_axis(
+    scores: jax.Array, k: int, mode: str = "exact"
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k along the last axis.
 
-    scores: (..., C). Returns (values, indices) each (..., k), descending,
-    ties broken toward the lower index (matching jax.lax.top_k and FAISS).
+    scores: (..., C). Returns (values, indices) each (..., k), descending.
+
+    mode='exact' uses XLA's native TopK (measured on v5e: a hand-rolled
+    tile-then-merge two-stage is ~8x SLOWER than the builtin at 256x1M, so
+    no custom staging here). mode='approx' uses the TPU ApproxTopK custom
+    call (lax.approx_max_k, recall_target 0.99 per-call) — the right trade
+    for recall-tolerant high-QPS serving.
     """
-    c = scores.shape[-1]
-    if c >= _TWO_STAGE_MIN_ROWS and k <= _TWO_STAGE_TILE // 8 and c % _TWO_STAGE_TILE == 0:
-        tiles = c // _TWO_STAGE_TILE
-        lead = scores.shape[:-1]
-        tiled = scores.reshape(lead + (tiles, _TWO_STAGE_TILE))
-        tile_vals, tile_idx = jax.lax.top_k(tiled, k)  # (..., tiles, k)
-        base = (
-            jax.lax.broadcasted_iota(jnp.int32, (tiles, k), 0) * _TWO_STAGE_TILE
-        )
-        glob_idx = tile_idx + base  # (..., tiles, k)
-        flat_vals = tile_vals.reshape(lead + (tiles * k,))
-        flat_idx = glob_idx.reshape(lead + (tiles * k,))
-        vals, pos = jax.lax.top_k(flat_vals, k)
-        idx = jnp.take_along_axis(flat_idx, pos, axis=-1)
-        return vals, idx
+    if mode == "approx" and scores.shape[-1] >= (1 << 14):
+        return jax.lax.approx_max_k(scores, k, recall_target=0.99)
     return jax.lax.top_k(scores, k)
 
 
@@ -90,8 +81,8 @@ def topk_last_axis(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def scan_topk(buf, inv_norms, q, count, k, mask=None):
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def scan_topk(buf, inv_norms, q, count, k, mask=None, mode="exact"):
     """Fused cosine scan + top-k for a batch of queries.
 
     buf:       (C, d) float32 or bfloat16 — padded corpus, raw (unnormalized)
@@ -104,19 +95,23 @@ def scan_topk(buf, inv_norms, q, count, k, mask=None):
     """
     c = buf.shape[0]
     qn = _normalize(q.astype(jnp.float32)).astype(buf.dtype)
-    # (B, d) x (C, d) -> (B, C); MXU matmul with f32 accumulation.
+    # (B, d) x (C, d) -> (B, C); MXU matmul with f32 accumulation. HIGHEST
+    # precision keeps true float32 multiplies on TPU (the default would drop
+    # to bf16 passes and break exact-recall parity with a CPU float32 scan);
+    # the scan is HBM-bandwidth-bound, so the extra MXU passes are free.
     scores = jax.lax.dot_general(
         qn,
         buf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if buf.dtype == jnp.float32 else None,
     )
     scores = scores * inv_norms[None, :]
     valid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) < count
     if mask is not None:
         valid = jnp.logical_and(valid, mask[None, :])
     scores = jnp.where(valid, scores, _MASKED_SCORE)
-    vals, idx = topk_last_axis(scores, k)
+    vals, idx = topk_last_axis(scores, k, mode)
     return vals, idx.astype(jnp.int32)
 
 
@@ -125,8 +120,8 @@ def scan_topk(buf, inv_norms, q, count, k, mask=None):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def scan_topk_int8(buf_i8, inv_norms_i8, q, count, k, mask=None):
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def scan_topk_int8(buf_i8, inv_norms_i8, q, count, k, mask=None, mode="exact"):
     """Int8 symmetric-quantized cosine scan + top-k.
 
     buf_i8:       (C, d) int8 — per-row symmetric-quantized corpus
@@ -156,7 +151,7 @@ def scan_topk_int8(buf_i8, inv_norms_i8, q, count, k, mask=None):
     if mask is not None:
         valid = jnp.logical_and(valid, mask[None, :])
     scores = jnp.where(valid, scores, _MASKED_SCORE)
-    vals, idx = topk_last_axis(scores, k)
+    vals, idx = topk_last_axis(scores, k, mode)
     return vals, idx.astype(jnp.int32)
 
 

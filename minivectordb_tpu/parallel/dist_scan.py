@@ -40,6 +40,7 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k):
         buf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if buf.dtype == jnp.float32 else None,
     )
     scores = scores * inv_norms[None, :]
     gids = row_base + jax.lax.broadcasted_iota(jnp.int32, (1, local_rows), 1)

@@ -206,3 +206,15 @@ class ShardedVectorDatabase:
 
     def autocut_scores(self, score_list):
         return engine_mod.autocut_scores(score_list)
+
+    def stats(self) -> dict:
+        """Operation counters/latencies (observability — no reference
+        equivalent, SURVEY.md §5)."""
+        return {
+            "count": self._engine.count,
+            "embedding_size": self._engine.embedding_size,
+            "device_dtype": self._engine.device_dtype,
+            "search_mode": self._engine.search_mode,
+            "shards": len(self._shards.box_item_map),
+            "ops": self._engine.telemetry.snapshot(),
+        }

@@ -35,9 +35,17 @@ from minivectordb_tpu.rerank.hybrid import hybrid_rerank_results as _hybrid_rera
 
 
 class VectorDatabase:
-    def __init__(self, storage_file: str = "db.pkl", device_dtype: str = "float32"):
+    def __init__(
+        self,
+        storage_file: str = "db.pkl",
+        device_dtype: str = "float32",
+        search_mode: str = "exact",
+    ):
+        """device_dtype: 'float32' (exact), 'bfloat16' or 'int8' (quantized
+        device buffer, half/quarter HBM traffic). search_mode: 'exact' or
+        'approx' (TPU ApproxTopK, recall~0.99, much faster at large batch)."""
         self.storage_file = storage_file
-        self._engine = SearchEngine(device_dtype=device_dtype)
+        self._engine = SearchEngine(device_dtype=device_dtype, search_mode=search_mode)
         self._load_database()
 
     # -- reference-compatible attributes -----------------------------------
@@ -216,3 +224,14 @@ class VectorDatabase:
 
     def autocut_scores(self, score_list):
         return engine_mod.autocut_scores(score_list)
+
+    def stats(self) -> dict:
+        """Operation counters/latencies (observability — no reference
+        equivalent, SURVEY.md §5)."""
+        return {
+            "count": self._engine.count,
+            "embedding_size": self._engine.embedding_size,
+            "device_dtype": self._engine.device_dtype,
+            "search_mode": self._engine.search_mode,
+            "ops": self._engine.telemetry.snapshot(),
+        }

@@ -91,15 +91,23 @@ def test_int8_store_approximates_cosine():
     np.testing.assert_allclose(vals[0], oracle[idx[0]], atol=0.03)
 
 
-def test_two_stage_topk_matches_plain():
+def test_topk_modes():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(5)
-    scores = rng.standard_normal(1 << 18).astype(np.float32)
-    vals, idx = scan_ops.topk_last_axis(jnp.asarray(scores), 7)
-    expected = np.argsort(-scores)[:7]
-    np.testing.assert_array_equal(np.asarray(idx), expected)
-    np.testing.assert_allclose(np.asarray(vals), scores[expected])
+    scores = rng.standard_normal((2, 1 << 15)).astype(np.float32)
+    vals, idx = scan_ops.topk_last_axis(jnp.asarray(scores), 7, "exact")
+    for b in range(2):
+        expected = np.argsort(-scores[b])[:7]
+        np.testing.assert_array_equal(np.asarray(idx)[b], expected)
+        np.testing.assert_allclose(np.asarray(vals)[b], scores[b][expected])
+    # approx mode: right shapes, high overlap with exact
+    avals, aidx = scan_ops.topk_last_axis(jnp.asarray(scores), 7, "approx")
+    assert np.asarray(avals).shape == (2, 7)
+    for b in range(2):
+        expected = set(np.argsort(-scores[b])[:7].tolist())
+        got = set(np.asarray(aidx)[b].tolist())
+        assert len(expected & got) >= 5
 
 
 def test_k_bucketing():
