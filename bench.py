@@ -62,6 +62,11 @@ def correctness_check():
     vals = np.asarray(vals)[:, :10]
     idx = np.asarray(idx)[:, :10]
     norms = np.linalg.norm(mat, axis=1)
+    from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
+
+    pvals, pidx = pallas_scan_topk(buf, inv, jnp.asarray(q), n, 16)
+    pvals = np.asarray(pvals)[:, :10]
+    pidx = np.asarray(pidx)[:, :10]
     for b in range(4):
         qn = q[b] / np.linalg.norm(q[b])
         scores = (mat @ qn) / norms
@@ -70,6 +75,7 @@ def correctness_check():
         np.testing.assert_allclose(
             vals[b], np.sort(scores[oracle])[::-1], rtol=2e-5, atol=2e-5
         )
+        assert set(pidx[b]) == set(oracle), "pallas scan disagrees with oracle"
 
 
 def _time_scan(buf, inv, q, mode, iters):
@@ -88,19 +94,39 @@ def _time_scan(buf, inv, q, mode, iters):
     return (time.perf_counter() - t) / iters
 
 
+def _time_pallas(buf, inv, q, iters):
+    import jax
+
+    from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
+
+    r = pallas_scan_topk(buf, inv, q, N, 16)
+    jax.block_until_ready(r)
+    np.asarray(r[0][:1, :1])
+    t = time.perf_counter()
+    for _ in range(iters):
+        r = pallas_scan_topk(buf, inv, q, N, 16)
+    jax.block_until_ready(r)
+    np.asarray(r[0][:1, :1])
+    return (time.perf_counter() - t) / iters
+
+
 def bench_tpu(buf, inv):
     import jax
     import jax.numpy as jnp
 
     q = jax.random.normal(jax.random.PRNGKey(1), (QBATCH, D), dtype=jnp.float32)
-    dt_exact = _time_scan(buf, inv, q, "exact", 10)
+    dt_exact_xla = _time_scan(buf, inv, q, "exact", 10)
+    dt_exact_pallas = _time_pallas(buf, inv, q, 10)
     dt_approx = _time_scan(buf, inv, q, "approx", 10)
     buf16 = buf.astype(jnp.bfloat16)
     dt_bf16 = _time_scan(buf16, inv, q, "approx", 10)
     q1 = q[:1]
     dt_single = _time_scan(buf, inv, q1, "exact", 20)
     return {
-        "exact_qps": QBATCH / dt_exact,
+        # headline: best EXACT path (both oracle-checked exact algorithms)
+        "exact_qps": QBATCH / min(dt_exact_xla, dt_exact_pallas),
+        "exact_xla_qps": QBATCH / dt_exact_xla,
+        "exact_pallas_qps": QBATCH / dt_exact_pallas,
         "approx_qps": QBATCH / dt_approx,
         "bf16_approx_qps": QBATCH / dt_bf16,
         "single_query_p50_ms": dt_single * 1000,
@@ -137,7 +163,9 @@ def main():
         "cpu_exact_qps_numpy_blas": cpu_qps,
         "speedup_exact_vs_cpu": ratio,
         "notes": [
-            "headline = exact float32 scan (recall@10 == 1.0, oracle-checked)",
+            "headline = best exact float32 scan (recall@10 == 1.0, "
+            "oracle-checked): Pallas two-phase subtile-max kernel vs XLA "
+            "fused scan+TopK",
             "approx = TPU ApproxTopK recall_target 0.99 (measured ~0.997)",
             "bf16_approx = bfloat16 corpus + ApproxTopK (recall-tolerant mode)",
             "faiss-cpu not installable in this image; numpy BLAS exact scan "

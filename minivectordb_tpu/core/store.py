@@ -200,7 +200,11 @@ class VectorStore:
             padded = np.zeros(self._dev_capacity, dtype=bool)
             padded[: mask.shape[0]] = mask
             mask_dev = jnp.asarray(padded)
-        if self.device_dtype == "int8":
+        if self._use_pallas(mode):
+            from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
+
+            vals, idx = pallas_scan_topk(buf, inv_norms, q, count, kb, mask_dev)
+        elif self.device_dtype == "int8":
             vals, idx = scan_ops.scan_topk_int8(
                 buf, inv_norms, q, count, kb, mask_dev, mode
             )
@@ -211,3 +215,21 @@ class VectorStore:
         vals = np.asarray(vals)[:, :k]
         idx = np.asarray(idx)[:, :k]
         return vals, idx
+
+    def _use_pallas(self, mode: str) -> bool:
+        """Route exact searches through the Pallas two-phase kernel on TPU
+        (measured ~2.3x the XLA exact path at 1M x 384, batch 256 — it never
+        materializes the (B, C) score matrix). CPU backend keeps the XLA
+        path (the kernel only runs interpreted there)."""
+        import os
+
+        import jax
+
+        if os.environ.get("MINIVECTORDB_TPU_DISABLE_PALLAS"):
+            return False
+        return (
+            mode == "exact"
+            and self.device_dtype != "int8"
+            and self._dev_capacity >= 4096
+            and jax.default_backend() != "cpu"
+        )

@@ -1,4 +1,5 @@
 // Native fast ops for the rerank path (host side).
+#include <unistd.h>
 //
 // Replaces the C layers the reference pulls in via pip:
 //   - sklearn's murmurhash/HashingVectorizer (reference vector_database.py:9)
@@ -164,6 +165,60 @@ int mvdb_partial_ratio(const char* s1, int64_t l1, const char* s2, int64_t l2) {
   }
   int v = (int)(best * 100.0 + 0.5);
   return v > 100 ? 100 : v;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Write-ahead log support: CRC32-framed append (storage fast path).
+// Record layout: [magic 'MVDW' u32][payload_len u64 LE][crc32 u32 LE][payload]
+// ---------------------------------------------------------------------------
+#include <cstdio>
+
+extern "C" {
+
+static uint32_t crc32_table[256];
+static bool crc32_init_done = false;
+
+static void crc32_init() {
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    crc32_table[i] = c;
+  }
+  crc32_init_done = true;
+}
+
+uint32_t mvdb_crc32(const uint8_t* data, int64_t len) {
+  if (!crc32_init_done) crc32_init();
+  uint32_t c = 0xFFFFFFFFu;
+  for (int64_t i = 0; i < len; i++)
+    c = crc32_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+  return c ^ 0xFFFFFFFFu;
+}
+
+// Append one framed record; returns 0 on success, negative errno-style code.
+int mvdb_wal_append(const char* path, const uint8_t* data, int64_t len,
+                    int do_fsync) {
+  FILE* f = std::fopen(path, "ab");
+  if (!f) return -1;
+  const uint32_t magic = 0x5744564Du;  // 'MVDW' little-endian
+  uint64_t ulen = (uint64_t)len;
+  uint32_t crc = mvdb_crc32(data, len);
+  int ok = 1;
+  ok &= std::fwrite(&magic, 4, 1, f) == 1;
+  ok &= std::fwrite(&ulen, 8, 1, f) == 1;
+  ok &= std::fwrite(&crc, 4, 1, f) == 1;
+  ok &= len == 0 || std::fwrite(data, 1, (size_t)len, f) == (size_t)len;
+  if (ok) std::fflush(f);
+#ifndef _WIN32
+  if (ok && do_fsync) {
+    // fileno + fsync for durability
+    ok &= fsync(fileno(f)) == 0;
+  }
+#endif
+  std::fclose(f);
+  return ok ? 0 : -2;
 }
 
 }  // extern "C"

@@ -42,6 +42,15 @@ def _load():
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
+        lib.mvdb_crc32.restype = ctypes.c_uint32
+        lib.mvdb_crc32.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.mvdb_wal_append.restype = ctypes.c_int
+        lib.mvdb_wal_append.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -73,3 +82,21 @@ def partial_ratio(s1: str, s2: str):
         return None
     b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
     return int(lib.mvdb_partial_ratio(b1, len(b1), b2, len(b2)))
+
+
+def crc32(data: bytes):
+    """CRC32 of a byte string; None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.mvdb_crc32(data, len(data)))
+
+
+def wal_append(path: str, payload: bytes, fsync: bool = False):
+    """Append one CRC-framed record to the WAL file; None if unavailable,
+    else True/False for success."""
+    lib = _load()
+    if lib is None:
+        return None
+    rc = lib.mvdb_wal_append(path.encode(), payload, len(payload), int(fsync))
+    return rc == 0

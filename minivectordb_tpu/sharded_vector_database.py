@@ -19,9 +19,12 @@ never had.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from minivectordb_tpu.core import engine as engine_mod
+from minivectordb_tpu.core import wal as wal_mod
 from minivectordb_tpu.core.engine import SearchEngine
 from minivectordb_tpu.core.sharding import ShardRegistry
 from minivectordb_tpu.rerank.hybrid import hybrid_rerank_results as _hybrid_rerank
@@ -31,11 +34,31 @@ class ShardedVectorDatabase:
     _device_dtype = "float32"
     _default_storage_dir = "db_shards"
 
-    def __init__(self, storage_dir: str | None = None, shard_size: int = 5000):
+    def __init__(
+        self,
+        storage_dir: str | None = None,
+        shard_size: int = 5000,
+        durability: str = "shard",
+        search_mode: str = "exact",
+    ):
+        """durability:
+        - 'shard' (default): reference-compatible — every mutation rewrites
+          its whole shard pickle synchronously
+          (reference sharded_vector_database.py:134-154).
+        - 'wal': same crash-durability contract at O(record) cost — mutations
+          append to a CRC-framed write-ahead log (C++ fast path when built)
+          and fold into shard files on compact()/reload (core/wal.py).
+        """
+        if durability not in ("shard", "wal"):
+            raise ValueError(f"Unknown durability mode: {durability}")
         self.storage_dir = storage_dir or self._default_storage_dir
         self.shard_size = shard_size
-        self._engine = SearchEngine(device_dtype=self._device_dtype)
+        self.durability = durability
+        self._engine = SearchEngine(
+            device_dtype=self._device_dtype, search_mode=search_mode
+        )
         self._shards = ShardRegistry(self.storage_dir, shard_size)
+        self._wal_path = os.path.join(self.storage_dir, "wal.log")
         self._load_database()
 
     # -- reference-compatible attributes -----------------------------------
@@ -93,6 +116,72 @@ class ShardedVectorDatabase:
             if uids:
                 matrix = np.vstack(all_embeddings)
                 self._engine.load(matrix, uids, metadatas)
+            self._replay_wal()
+
+    def _replay_wal(self) -> None:
+        """Fold pending WAL records (from a prior 'wal'-mode session) into
+        RAM state, then compact them into the shard files."""
+        ops = wal_mod.read_records(self._wal_path)
+        if not ops:
+            return
+        for op in ops:
+            kind = op[0]
+            if kind == "add":
+                _, uid, embedding, metadata = op
+                if uid in self._engine.inverse_id_map:
+                    continue  # record already compacted
+                self._engine.add_one(uid, embedding, metadata)
+                self._shards.place(uid)
+            elif kind == "del":
+                _, del_uids = op
+                live = [u for u in del_uids if u in self._engine.inverse_id_map]
+                if live:
+                    self._engine.delete_many(live)
+                    self._unplace(live)
+        self.compact()
+
+    def _unplace(self, uids) -> None:
+        for uid in uids:
+            shard_id = self._shards.inverse_box_item_map.pop(uid, None)
+            if shard_id is not None:
+                try:
+                    self._shards.box_item_map[shard_id].remove(uid)
+                except (KeyError, ValueError):
+                    pass
+
+    def compact(self) -> None:
+        """Rewrite every registered shard file from the in-RAM state and
+        truncate the WAL. No-op cost in 'shard' mode (files are already
+        up to date) but safe to call in either mode."""
+        with self._engine.lock:
+            if self._engine.embedding_size is None:
+                wal_mod.truncate(self._wal_path)
+                return
+            inv = self._engine.inverse_id_map
+            view = self._engine.embeddings_view
+            metadata = self._engine.metadata
+            import pickle as _pickle
+
+            for shard_id, shard_uids in self._shards.box_item_map.items():
+                rows = [inv[u] for u in shard_uids]
+                inverted = {}
+                for u in shard_uids:
+                    for key in metadata[inv[u]]:
+                        inverted.setdefault(key, set()).add(u)
+                data = {
+                    "embeddings": np.asarray(
+                        view[rows] if rows else
+                        np.zeros((0, self._engine.embedding_size), np.float32),
+                        dtype=np.float32,
+                    ),
+                    "metadata": [metadata[r] for r in rows],
+                    "unique_ids": list(shard_uids),
+                    "inverted_index": inverted,
+                }
+                path = os.path.join(self.storage_dir, f"shard_{shard_id}.pkl")
+                with open(path, "wb") as f:
+                    _pickle.dump(data, f)
+            wal_mod.truncate(self._wal_path)
 
     def _convert_from_non_sharded_db(self, non_sharded_db_object) -> None:
         """Migrate a flat VectorDatabase into this sharded one
@@ -110,6 +199,9 @@ class ShardedVectorDatabase:
         with self._engine.lock:
             if unique_id not in self._engine.inverse_id_map:
                 raise ValueError("Unique ID does not exist.")
+            if self.durability == "wal":
+                # shard files may lag the WAL; RAM is authoritative
+                return self._engine.get_row(unique_id)
             return self._shards.read_vector(
                 unique_id, self._engine.inverse_id_map[unique_id], self._engine.uids
             )
@@ -119,13 +211,20 @@ class ShardedVectorDatabase:
         with self._engine.lock:
             self._engine.add_one(unique_id, embedding, metadata_dict)
             shard_id = self._shards.place(unique_id)
-            self._shards.append_to_shard(
-                shard_id,
-                [unique_id],
-                np.asarray(embedding, dtype=np.float32)[None, :],
-                [metadata_dict],
-                self._engine.embedding_size,
-            )
+            if self.durability == "wal":
+                wal_mod.append_record(
+                    self._wal_path,
+                    ("add", unique_id,
+                     np.asarray(embedding, dtype=np.float32), metadata_dict),
+                )
+            else:
+                self._shards.append_to_shard(
+                    shard_id,
+                    [unique_id],
+                    np.asarray(embedding, dtype=np.float32)[None, :],
+                    [metadata_dict],
+                    self._engine.embedding_size,
+                )
 
     def store_embeddings_batch(self, unique_ids: list, embeddings, metadata_dicts=None):
         metadata_dicts = [] if metadata_dicts is None else metadata_dicts
@@ -144,6 +243,15 @@ class ShardedVectorDatabase:
             for i, uid in enumerate(unique_ids):
                 shard_id = self._shards.place(uid)
                 groups.setdefault(shard_id, []).append(i)
+            if self.durability == "wal":
+                for i, uid in enumerate(unique_ids):
+                    wal_mod.append_record(
+                        self._wal_path,
+                        ("add", uid,
+                         np.asarray(embeddings[i], dtype=np.float32),
+                         metadata_dicts[i]),
+                    )
+                return
             for shard_id, idxs in groups.items():
                 self._shards.append_to_shard(
                     shard_id,
@@ -164,6 +272,11 @@ class ShardedVectorDatabase:
             if not all(uid in self._engine.inverse_id_map for uid in unique_ids):
                 raise ValueError("One or more unique IDs do not exist.")
             unique_ids = [uid for uid in unique_ids if uid is not None]
+            if self.durability == "wal":
+                wal_mod.append_record(self._wal_path, ("del", list(unique_ids)))
+                self._unplace(unique_ids)
+                self._engine.delete_many(unique_ids)
+                return
             shard_groups: dict[int, list] = {}
             for uid in unique_ids:
                 shard_groups.setdefault(

@@ -1,0 +1,46 @@
+"""Pallas two-phase exact scan vs numpy oracle (interpret mode on CPU;
+compiled Mosaic on TPU — also exercised by bench/drive runs)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from minivectordb_tpu.ops import scan as scan_ops
+from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
+
+
+def test_pallas_scan_matches_oracle():
+    rng = np.random.default_rng(0)
+    n, d = 9000, 32
+    cap = scan_ops.capacity_bucket(n)  # 16384 — divisible by ROW_TILE 4096
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    buf = jnp.asarray(np.vstack([mat, np.zeros((cap - n, d), np.float32)]))
+    inv = scan_ops.row_inv_norms(buf)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+
+    vals, idx = pallas_scan_topk(buf, inv, jnp.asarray(q), n, 8)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    norms = np.linalg.norm(mat, axis=1)
+    for b in range(3):
+        qn = q[b] / np.linalg.norm(q[b])
+        scores = (mat @ qn) / norms
+        oracle = np.argsort(-scores)[:8]
+        assert set(idx[b].tolist()) == set(oracle.tolist())
+        np.testing.assert_allclose(
+            vals[b], np.sort(scores[oracle])[::-1], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_pallas_scan_count_masking():
+    """Rows beyond `count` must never be returned even though the padded
+    buffer contains live-looking data there."""
+    rng = np.random.default_rng(1)
+    cap, d = 4096, 16
+    full = rng.standard_normal((cap, d)).astype(np.float32)
+    # make the padded zone maximally attractive
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    full[3000:] = 100.0 * (q[0] / np.linalg.norm(q[0]))
+    buf = jnp.asarray(full)
+    inv = scan_ops.row_inv_norms(buf)
+    vals, idx = pallas_scan_topk(buf, inv, jnp.asarray(q), 3000, 5)
+    assert (np.asarray(idx)[0] < 3000).all()
