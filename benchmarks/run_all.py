@@ -1,0 +1,328 @@
+"""Full benchmark suite — the five BASELINE.md configs + recall harness.
+
+Usage:  python benchmarks/run_all.py [--quick]
+Writes benchmarks/full_report.json and prints a summary table. Runs on
+whatever backend JAX selects (the real TPU under axon; CPU works for smoke
+runs with --quick).
+
+Configs (BASELINE.md):
+  1. Flat exact search, README-style 12-sentence corpus, built-in encoder,
+     k=2 — embed+query p50 latency, fused vs two-step.
+  2. Flat search + mongo-like filtering + delete/update ops, 100k x 384.
+  3. Hybrid rerank pipeline: top-6 -> text-hash + fuzzy rerank to 4.
+  4. Sharded flat search, 8 shards, 100k x 384, multithreaded insert/query.
+  5. 1M x 1024 vectors, IVF coarse-quantized, with recall@10 vs exact.
+Plus: recall harness for approx / bf16 / int8 modes vs the exact oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SENTENCES = [
+    "i like animals",
+    "i like cars",
+    "i like programming",
+    "technology is the future",
+    "the weather is nice today",
+    "my favorite food is pasta",
+    "the stock market fell sharply",
+    "she plays the violin beautifully",
+    "the museum opens at nine",
+    "quantum computers are fascinating",
+    "the recipe calls for two eggs",
+    "he trains for the marathon daily",
+]
+
+
+def config1_readme_flow():
+    from minivectordb_tpu.core.pipeline import TextSearchPipeline
+    from minivectordb_tpu.embedding_model import EmbeddingModel
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    model = EmbeddingModel()
+    db = VectorDatabase(storage_file="/tmp/bench_cfg1.pkl")
+    for i, s in enumerate(SENTENCES, 1):
+        db.store_embedding(i, model.extract_embeddings(s), {"idx": i})
+    pipe = TextSearchPipeline(model, db)
+
+    # warm both paths
+    pipe.search("i like dogs", k=2)
+    db.find_most_similar(model.extract_embeddings("i like dogs"), k=2)
+
+    lat_fused, lat_two = [], []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        pipe.search("i like dogs", k=2)
+        lat_fused.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        db.find_most_similar(model.extract_embeddings("i like dogs"), k=2)
+        lat_two.append(time.perf_counter() - t0)
+    os.remove("/tmp/bench_cfg1.pkl") if os.path.exists("/tmp/bench_cfg1.pkl") else None
+    return {
+        "corpus": len(SENTENCES),
+        "embed_plus_query_p50_ms_fused": float(np.median(lat_fused) * 1000),
+        "embed_plus_query_p50_ms_two_step": float(np.median(lat_two) * 1000),
+    }
+
+
+def config2_filters_and_mutations(n=100_000, d=384):
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    rng = np.random.default_rng(0)
+    db = VectorDatabase(storage_file="/tmp/bench_cfg2.pkl")
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    metas = [{"cat": int(i % 100), "flag": bool(i % 2)} for i in range(n)]
+    t0 = time.perf_counter()
+    db.store_embeddings_batch(list(range(n)), list(mat), metas)
+    ingest_s = time.perf_counter() - t0
+
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    db.find_most_similar(q[0], metadata_filter={"cat": {"$lt": 10}}, k=10)  # warm
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        db.find_most_similar(q[0], metadata_filter={"cat": {"$lt": 10}}, k=10)
+    filtered_qps = iters / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    db.delete_embedding(5)
+    db.delete_embedding(77)
+    delete_s = (time.perf_counter() - t0) / 2
+    # update = delete + insert under a fresh uid (reference idiom)
+    t0 = time.perf_counter()
+    db.delete_embedding(100)
+    db.store_embedding("100b", rng.standard_normal(d), {"cat": 1})
+    db.find_most_similar(q[0], k=1)
+    update_and_search_s = time.perf_counter() - t0
+    return {
+        "n": n,
+        "batch_ingest_s": ingest_s,
+        "ingest_vectors_per_s": n / ingest_s,
+        "filtered_search_qps_seq": filtered_qps,
+        "delete_s": delete_s,
+        "update_plus_search_s": update_and_search_s,
+    }
+
+
+def config3_hybrid_rerank():
+    from minivectordb_tpu.rerank.hybrid import hybrid_rerank_results
+
+    rng = np.random.default_rng(1)
+    docs = [
+        "the quick brown fox jumps",
+        "a lazy dog sleeps all day",
+        "quantum flux capacitors hum",
+        "brown foxes are quick animals",
+        "the stock market fell sharply",
+        "she plays violin beautifully",
+    ]
+    scores = list(rng.random(6))
+    hybrid_rerank_results(docs, scores, "quick brown fox", k=4)  # warm
+    t0 = time.perf_counter()
+    iters = 200
+    for _ in range(iters):
+        hybrid_rerank_results(docs, scores, "quick brown fox", k=4)
+    per_call_ms = (time.perf_counter() - t0) / iters * 1000
+    return {"k_in": 6, "k_out": 4, "rerank_ms_per_call": per_call_ms}
+
+
+def config4_sharded_multithreaded(n=100_000, d=384, quick=False):
+    import shutil
+
+    from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
+
+    if quick:
+        n = 10_000
+    folder = "/tmp/bench_cfg4_shards"
+    shutil.rmtree(folder, ignore_errors=True)
+    rng = np.random.default_rng(2)
+    db = ShardedVectorDatabase(
+        storage_dir=folder, shard_size=n // 8, durability="wal"
+    )
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    t0 = time.perf_counter()
+    db.store_embeddings_batch(list(range(n)), list(mat))
+    ingest_s = time.perf_counter() - t0
+    db.compact()
+
+    n_threads, per_thread = 4, 25
+    db.find_most_similar(rng.standard_normal(d), k=10)  # warm
+    errors = []
+
+    def worker(tid):
+        try:
+            r = np.random.default_rng(tid)
+            for i in range(per_thread):
+                if i % 5 == 0:
+                    db.store_embedding(
+                        f"t{tid}_{i}", r.standard_normal(d), {"t": tid}
+                    )
+                else:
+                    db.find_most_similar(r.standard_normal(d), k=10)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mixed_ops_s = time.perf_counter() - t0
+    assert not errors, errors
+    total_ops = n_threads * per_thread
+    out = {
+        "n": n,
+        "shards": len(db.box_item_map),
+        "wal_batch_ingest_s": ingest_s,
+        "ingest_vectors_per_s": n / ingest_s,
+        "mixed_ops_per_s_4threads": total_ops / mixed_ops_s,
+    }
+    shutil.rmtree(folder, ignore_errors=True)
+    return out
+
+
+def config5_ivf_1m(quick=False):
+    from minivectordb_tpu.ops import scan as scan_ops
+    from minivectordb_tpu.ops.ivf import IVFIndex
+
+    import jax
+    import jax.numpy as jnp
+
+    n, d = (100_000, 256) if quick else (1_000_000, 1024)
+    nlist = 1024 if quick else 4096
+    rng = np.random.default_rng(3)
+    # clustered corpus (IVF on pure-uniform data has no structure to exploit)
+    n_centers = 1000
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 3
+    assign = rng.integers(0, n_centers, n)
+    mat = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+
+    index = IVFIndex(nlist=nlist, nprobe=32, iters=8, device_dtype="bfloat16")
+    t0 = time.perf_counter()
+    index.build(mat)
+    build_s = time.perf_counter() - t0
+
+    nq = 64
+    queries = mat[rng.choice(n, nq, replace=False)] + 0.05 * rng.standard_normal(
+        (nq, d)
+    ).astype(np.float32)
+
+    # exact oracle on device (for recall) — scan in chunks
+    cap = scan_ops.capacity_bucket(n)
+    buf = jnp.asarray(
+        np.vstack([mat, np.zeros((cap - n, d), np.float32)])
+    )
+    inv = scan_ops.row_inv_norms(buf)
+    evals, eidx = scan_ops.scan_topk(buf, inv, jnp.asarray(queries), n, 16)
+    eidx = np.asarray(eidx)[:, :10]
+    del buf, inv
+
+    results = {}
+    for nprobe in (8, 32, 64):
+        index.search(queries[:1], 10, nprobe=nprobe)  # warm/compile
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            vals, ids = index.search(queries, 10, nprobe=nprobe)
+        qps = iters * nq / (time.perf_counter() - t0)
+        hits = sum(
+            len(set(ids[b].tolist()) & set(eidx[b].tolist())) for b in range(nq)
+        )
+        results[f"nprobe_{nprobe}"] = {
+            "qps": qps,
+            "recall_at_10": hits / (10 * nq),
+        }
+    return {"n": n, "d": d, "nlist": nlist, "build_s": build_s, **results}
+
+
+def recall_harness(quick=False):
+    """Recall@10 of the speed modes vs the exact float32 oracle."""
+    from minivectordb_tpu.ops import scan as scan_ops
+
+    import jax.numpy as jnp
+
+    n, d = (50_000, 128) if quick else (500_000, 384)
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    cap = scan_ops.capacity_bucket(n)
+    buf = jnp.asarray(np.vstack([mat, np.zeros((cap - n, d), np.float32)]))
+    inv = scan_ops.row_inv_norms(buf)
+    nq = 32
+    q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+
+    _, eidx = scan_ops.scan_topk(buf, inv, q, n, 16, None, "exact")
+    exact = [set(np.asarray(eidx)[b][:10].tolist()) for b in range(nq)]
+
+    def recall(idx):
+        idx = np.asarray(idx)[:, :10]
+        return sum(len(exact[b] & set(idx[b].tolist())) for b in range(nq)) / (
+            10 * nq
+        )
+
+    out = {}
+    _, aidx = scan_ops.scan_topk(buf, inv, q, n, 16, None, "approx")
+    out["approx_recall_at_10"] = recall(aidx)
+    buf16 = buf.astype(jnp.bfloat16)
+    _, bidx = scan_ops.scan_topk(buf16, inv, q, n, 16, None, "exact")
+    out["bf16_recall_at_10"] = recall(bidx)
+    # int8 path
+    from minivectordb_tpu.core.store import VectorStore
+
+    store = VectorStore(d, device_dtype="int8")
+    store.append(mat)
+    _, i8idx = store.search(np.asarray(q), 10)
+    out["int8_recall_at_10"] = recall(i8idx)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="small sizes (CPU smoke)")
+    parser.add_argument("--skip", default="", help="comma-separated config names")
+    args = parser.parse_args()
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    report = {"quick": args.quick}
+    steps = [
+        ("config1_readme_flow", config1_readme_flow, {}),
+        ("config2_filters_mutations", config2_filters_and_mutations,
+         {"n": 10_000} if args.quick else {}),
+        ("config3_hybrid_rerank", config3_hybrid_rerank, {}),
+        ("config4_sharded_multithreaded", config4_sharded_multithreaded,
+         {"quick": args.quick}),
+        ("config5_ivf", config5_ivf_1m, {"quick": args.quick}),
+        ("recall_harness", recall_harness, {"quick": args.quick}),
+    ]
+    for name, fn, kwargs in steps:
+        if name in skip:
+            continue
+        t0 = time.time()
+        try:
+            report[name] = fn(**kwargs)
+            report[name]["_wall_s"] = round(time.time() - t0, 2)
+            print(f"[done {report[name]['_wall_s']:8.1f}s] {name}: "
+                  f"{json.dumps(report[name])[:200]}", flush=True)
+        except Exception as e:  # keep going; report the failure
+            report[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"[FAIL] {name}: {report[name]['error']}", flush=True)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "full_report.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"\nreport -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

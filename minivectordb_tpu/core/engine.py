@@ -31,9 +31,20 @@ from minivectordb_tpu.utils.telemetry import Telemetry
 class SearchEngine:
     """Row-packed corpus + id maps + metadata index + masked device search."""
 
-    def __init__(self, device_dtype: str = "float32", search_mode: str = "exact"):
+    def __init__(
+        self,
+        device_dtype: str = "float32",
+        search_mode: str = "exact",
+        mesh=None,
+    ):
         self.device_dtype = device_dtype
         self.search_mode = search_mode  # 'exact' | 'approx' (TPU ApproxTopK)
+        # Optional jax.sharding.Mesh: searches run row-partitioned across the
+        # mesh (shard-local top-k + ICI all-gather merge, parallel/dist_scan)
+        self.mesh = mesh
+        self._dist = None
+        self._dist_version = -1
+        self._version = 0  # bumped on every mutation
         self.embedding_size: int | None = None
         self.store: VectorStore | None = None
         self.uids: list = []  # row -> unique id
@@ -83,6 +94,7 @@ class SearchEngine:
         self.inverse_id_map[unique_id] = row
         self.metadata.append(metadata_dict)
         self.meta_index.add(unique_id, metadata_dict)
+        self._version += 1
         return row
 
     def add_batch(self, unique_ids: list, embeddings, metadata_dicts: list) -> range:
@@ -107,6 +119,7 @@ class SearchEngine:
         self.metadata.extend(metadata_dicts)
         for uid, md in zip(unique_ids, metadata_dicts):
             self.meta_index.add(uid, md)
+        self._version += 1
         return rows
 
     def delete_many(self, unique_ids: list) -> None:
@@ -129,6 +142,7 @@ class SearchEngine:
         self.uids = new_uids
         self.metadata = new_metadata
         self.inverse_id_map = {uid: i for i, uid in enumerate(new_uids)}
+        self._version += 1
 
     def get_row(self, unique_id) -> np.ndarray:
         if unique_id not in self.inverse_id_map:
@@ -158,6 +172,23 @@ class SearchEngine:
             )
         else:
             self.meta_index.rebuild(self.uids, self.metadata)
+        self._version += 1
+
+    def _device_search(self, q, search_k, mask):
+        """Dispatch to the mesh-distributed scan when a mesh is configured
+        (row-partitioned shard-local top-k + ICI all-gather merge), else the
+        single-device store. The distributed index bulk-reloads from the host
+        mirror when the corpus version changes."""
+        if self.mesh is not None:
+            if self._dist is None:
+                from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
+
+                self._dist = DistributedScanIndex(self.mesh, self.embedding_size)
+            if self._dist_version != self._version:
+                self._dist.load(np.ascontiguousarray(self.store.view()))
+                self._dist_version = self._version
+            return self._dist.search(q, search_k, mask=mask)
+        return self.store.search(q, search_k, mask, mode=self.search_mode)
 
     # -- search ------------------------------------------------------------
 
@@ -194,9 +225,7 @@ class SearchEngine:
                 mask = np.zeros(self.count, dtype=bool)
                 mask[np.fromiter(filtered, dtype=np.int64, count=len(filtered))] = True
             with self.telemetry.timed("device_scan"):
-                vals, idx = self.store.search(
-                    q, search_k, mask, mode=self.search_mode
-                )
+                vals, idx = self._device_search(q, search_k, mask)
             # Snapshot row-aligned structures before releasing the lock.
             uids, metadata = self.uids, self.metadata
 
@@ -211,6 +240,55 @@ class SearchEngine:
         if return_distances:
             found.sort(key=lambda t: t[1])
         return tuple(zip(*found)) if found else ([], [], [])
+
+    def search_batch(
+        self,
+        embeddings,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+        return_distances: bool = False,
+    ):
+        """Batched search: one device program over all queries. Returns a
+        list of (ids, scores, metadatas) triples; filters apply to every
+        query. No reference equivalent (the reference is one query/call)."""
+        q = np.asarray(embeddings, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.store is None or self.count == 0:
+            return [([], [], [])] * q.shape[0]
+        with self.lock:
+            with self.telemetry.timed("filter"):
+                filtered = get_filtered_rows(
+                    self._filter_context(), metadata_filter, exclude_filter, or_filters
+                )
+            if not filtered:
+                return [([], [], [])] * q.shape[0]
+            search_k = min(k, len(filtered))
+            mask = None
+            if len(filtered) != self.count:
+                mask = np.zeros(self.count, dtype=bool)
+                mask[np.fromiter(filtered, dtype=np.int64, count=len(filtered))] = True
+            with self.telemetry.timed("device_scan"):
+                vals, idx = self._device_search(q, search_k, mask)
+            uids, metadata = self.uids, self.metadata
+        out = []
+        for b in range(q.shape[0]):
+            found = []
+            for score, row in zip(vals[b], idx[b]):
+                if score < -1.0e38:
+                    continue
+                s = float(score)
+                found.append(
+                    (uids[row],
+                     (1.0 - s) if return_distances else np.float32(s),
+                     metadata[row])
+                )
+            if return_distances:
+                found.sort(key=lambda t: t[1])
+            out.append(tuple(zip(*found)) if found else ([], [], []))
+        return out
 
 
 def autocut_scores(score_list):

@@ -200,7 +200,7 @@ class VectorStore:
             padded = np.zeros(self._dev_capacity, dtype=bool)
             padded[: mask.shape[0]] = mask
             mask_dev = jnp.asarray(padded)
-        if self._use_pallas(mode):
+        if self._use_pallas(mode, q.shape[0]):
             from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
 
             vals, idx = pallas_scan_topk(buf, inv_norms, q, count, kb, mask_dev)
@@ -216,11 +216,12 @@ class VectorStore:
         idx = np.asarray(idx)[:, :k]
         return vals, idx
 
-    def _use_pallas(self, mode: str) -> bool:
+    def _use_pallas(self, mode: str, batch: int) -> bool:
         """Route exact searches through the Pallas two-phase kernel on TPU
         (measured ~2.3x the XLA exact path at 1M x 384, batch 256 — it never
-        materializes the (B, C) score matrix). CPU backend keeps the XLA
-        path (the kernel only runs interpreted there)."""
+        materializes the (B, C) score matrix). Small batches stay on the XLA
+        path, which has lower fixed latency (measured crossover ~batch 16).
+        CPU backend keeps the XLA path (the kernel only runs interpreted)."""
         import os
 
         import jax
@@ -229,6 +230,7 @@ class VectorStore:
             return False
         return (
             mode == "exact"
+            and batch >= 16
             and self.device_dtype != "int8"
             and self._dev_capacity >= 4096
             and jax.default_backend() != "cpu"

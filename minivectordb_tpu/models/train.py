@@ -120,3 +120,45 @@ def init_training(cfg: EncoderConfig, params, mesh: Mesh | None = None,
         )
     opt_state = optimizer.init(params)
     return params, opt_state, optimizer
+
+
+def train_loop(
+    cfg: EncoderConfig,
+    params,
+    batch_iter,
+    steps: int,
+    mesh: Mesh | None = None,
+    learning_rate: float = 1e-4,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 100,
+    start_step: int = 0,
+    opt_state=None,
+    log_every: int = 10,
+    log_fn=print,
+):
+    """Simple driver loop: jitted step + periodic atomic checkpointing
+    (models/checkpoint.py). `batch_iter` yields dicts with
+    q_ids/q_mask/p_ids/p_mask. Returns (params, opt_state, history)."""
+    from minivectordb_tpu.models.checkpoint import save_checkpoint
+
+    placed, fresh_opt, optimizer = init_training(
+        cfg, params, mesh=mesh, learning_rate=learning_rate
+    )
+    params = placed
+    if opt_state is None:
+        opt_state = fresh_opt
+    step_fn = make_train_step(cfg, optimizer, mesh=mesh)
+    history = []
+    for step in range(start_step, start_step + steps):
+        batch = next(batch_iter)
+        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        if log_every and step % log_every == 0:
+            loss = float(metrics["loss"])
+            acc = float(metrics["accuracy"])
+            history.append({"step": step, "loss": loss, "accuracy": acc})
+            log_fn(f"step {step}: loss={loss:.4f} acc={acc:.3f}")
+        if checkpoint_path and (step + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, params, opt_state, step + 1)
+    if checkpoint_path:
+        save_checkpoint(checkpoint_path, params, opt_state, start_step + steps)
+    return params, opt_state, history

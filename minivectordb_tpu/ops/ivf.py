@@ -26,29 +26,54 @@ import numpy as np
 _MASKED_SCORE = np.float32(-3.0e38)
 
 
+_ASSIGN_CHUNK = 1 << 16  # rows per assignment step (bounds the sims matrix)
+
+
+def _assign_chunked(data, centroids):
+    """argmax-similarity assignment without materializing (n, nlist) at once."""
+    n, d = data.shape
+    chunk = min(_ASSIGN_CHUNK, n)
+    pad = (-n) % chunk
+    padded = jnp.pad(data, ((0, pad), (0, 0)))
+
+    def f(x):
+        sims = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+        return jnp.argmax(sims, axis=1)
+
+    out = jax.lax.map(f, padded.reshape(-1, chunk, d))
+    return out.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "iters"))
 def _kmeans_device(data, key, nlist, iters):
-    """Spherical k-means (cosine) on device. data: (n, d) f32, L2-normalized."""
+    """Spherical k-means (cosine) on device. data: (n, d) f32, L2-normalized.
+
+    Lloyd updates use segment_sum (scatter-add) instead of a one-hot matmul
+    so memory stays O(n*d + nlist*d) — a one-hot (n, nlist) matrix would be
+    16 GB at 1M x 4096 lists. Assignment is chunked for the same reason.
+    """
     n = data.shape[0]
     idx = jax.random.choice(key, n, shape=(nlist,), replace=False)
     centroids = data[idx]
 
-    def step(carry, _):
-        cent = carry
-        # assign: (n, nlist) similarity -> argmax
-        sims = jnp.dot(data, cent.T, preferred_element_type=jnp.float32)
-        assign = jnp.argmax(sims, axis=1)
-        one_hot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)  # (n, nlist)
-        sums = jnp.dot(one_hot.T, data, preferred_element_type=jnp.float32)
-        counts = jnp.sum(one_hot, axis=0)[:, None]
+    def step(cent, _):
+        assign = _assign_chunked(data, cent)
+        sums = jax.ops.segment_sum(data, assign, num_segments=nlist)
+        counts = jax.ops.segment_sum(
+            jnp.ones((n, 1), jnp.float32), assign, num_segments=nlist
+        )
         new_cent = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cent)
         norms = jnp.linalg.norm(new_cent, axis=1, keepdims=True)
         new_cent = new_cent / jnp.maximum(norms, 1e-30)
         return new_cent, None
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
-    sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
-    return centroids, jnp.argmax(sims, axis=1)
+    return centroids, _assign_chunked(data, centroids)
+
+
+@jax.jit
+def _assign_full(data, centroids):
+    return _assign_chunked(data, centroids)
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
@@ -110,10 +135,16 @@ class IVFIndex:
         norms = np.linalg.norm(matrix, axis=1, keepdims=True)
         unit = matrix / np.maximum(norms, 1e-30)
         nlist = min(self.nlist, max(1, n // 4))
-        data = jnp.asarray(unit)
         key = jax.random.PRNGKey(self.seed)
-        centroids, assign = _kmeans_device(data, key, nlist, self.iters)
-        assign = np.asarray(assign)
+        # train on a bounded sample (classic IVF practice), assign everything
+        train_cap = max(nlist * 64, 100_000)
+        if n > train_cap:
+            rng = np.random.default_rng(self.seed)
+            sample = unit[rng.choice(n, train_cap, replace=False)]
+        else:
+            sample = unit
+        centroids, _ = _kmeans_device(jnp.asarray(sample), key, nlist, self.iters)
+        assign = np.asarray(_assign_full(jnp.asarray(unit), centroids))
         self.centroids = centroids
 
         # cluster-major re-pack with uniform padding

@@ -40,6 +40,7 @@ class ShardedVectorDatabase:
         shard_size: int = 5000,
         durability: str = "shard",
         search_mode: str = "exact",
+        mesh=None,
     ):
         """durability:
         - 'shard' (default): reference-compatible — every mutation rewrites
@@ -55,7 +56,7 @@ class ShardedVectorDatabase:
         self.shard_size = shard_size
         self.durability = durability
         self._engine = SearchEngine(
-            device_dtype=self._device_dtype, search_mode=search_mode
+            device_dtype=self._device_dtype, search_mode=search_mode, mesh=mesh
         )
         self._shards = ShardRegistry(self.storage_dir, shard_size)
         self._wal_path = os.path.join(self.storage_dir, "wal.log")
@@ -310,6 +311,25 @@ class ShardedVectorDatabase:
                 remove, ids, distances, metadatas
             )
         return ids, distances, metadatas
+
+    def find_most_similar_batch(
+        self,
+        embeddings,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+    ):
+        """Batched search: one device program over all queries (no reference
+        equivalent)."""
+        return self._engine.search_batch(
+            embeddings,
+            metadata_filter=metadata_filter,
+            exclude_filter=exclude_filter,
+            or_filters=or_filters,
+            k=k,
+            return_distances=self._device_dtype == "int8",
+        )
 
     # -- rerank / autocut --------------------------------------------------
 

@@ -40,12 +40,17 @@ class VectorDatabase:
         storage_file: str = "db.pkl",
         device_dtype: str = "float32",
         search_mode: str = "exact",
+        mesh=None,
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' or 'int8' (quantized
         device buffer, half/quarter HBM traffic). search_mode: 'exact' or
-        'approx' (TPU ApproxTopK, recall~0.99, much faster at large batch)."""
+        'approx' (TPU ApproxTopK, recall~0.99, much faster at large batch).
+        mesh: optional jax.sharding.Mesh — searches run row-partitioned
+        across the mesh with an ICI all-gather top-k merge."""
         self.storage_file = storage_file
-        self._engine = SearchEngine(device_dtype=device_dtype, search_mode=search_mode)
+        self._engine = SearchEngine(
+            device_dtype=device_dtype, search_mode=search_mode, mesh=mesh
+        )
         self._load_database()
 
     # -- reference-compatible attributes -----------------------------------
@@ -187,34 +192,13 @@ class VectorDatabase:
         """Batched search (no reference equivalent — the reference is
         strictly one query per call). Returns a list of (ids, distances,
         metadatas) triples, one per query; filters apply to every query."""
-        q = np.asarray(embeddings, dtype=np.float32)
-        eng = self._engine
-        if eng.store is None or eng.count == 0:
-            return [([], [], [])] * q.shape[0]
-        from minivectordb_tpu.filters.engine import get_filtered_rows
-
-        with eng.lock:
-            filtered = get_filtered_rows(
-                eng._filter_context(), metadata_filter, exclude_filter, or_filters
-            )
-            if not filtered:
-                return [([], [], [])] * q.shape[0]
-            search_k = min(k, len(filtered))
-            mask = None
-            if len(filtered) != eng.count:
-                mask = np.zeros(eng.count, dtype=bool)
-                mask[list(filtered)] = True
-            vals, idx = eng.store.search(q, search_k, mask)
-            uids, metadata = eng.uids, eng.metadata
-        out = []
-        for b in range(q.shape[0]):
-            found = [
-                (uids[row], np.float32(score), metadata[row])
-                for score, row in zip(vals[b], idx[b])
-                if score >= -1.0e38
-            ]
-            out.append(tuple(zip(*found)) if found else ([], [], []))
-        return out
+        return self._engine.search_batch(
+            embeddings,
+            metadata_filter=metadata_filter,
+            exclude_filter=exclude_filter,
+            or_filters=or_filters,
+            k=k,
+        )
 
     # -- rerank / autocut --------------------------------------------------
 
