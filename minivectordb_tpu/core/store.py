@@ -40,14 +40,17 @@ class VectorStore:
     """
 
     def __init__(self, dim: int, device_dtype: str = "float32"):
-        if device_dtype not in ("float32", "bfloat16", "int8"):
+        if device_dtype not in ("float32", "bfloat16", "int8", "mixed"):
             raise ValueError(f"Unsupported device dtype: {device_dtype}")
+        # 'mixed': float32 buffer (authoritative rescoring) + bfloat16 shadow
+        # used only for Pallas phase-1 selection — near-exact at ~2x speed.
         self.dim = int(dim)
         self.device_dtype = device_dtype
         self.count = 0
         self._data = np.zeros((_MIN_CAPACITY, self.dim), dtype=np.float32)
         # Device cache state
         self._buf = None
+        self._scan_buf = None  # bf16 shadow ('mixed' mode only)
         self._inv_norms = None
         self._dev_capacity = 0
         self._dirty_from = 0  # lowest host row not reflected on device
@@ -115,6 +118,7 @@ class VectorStore:
         self.count = 0
         self._dirty_from = 0
         self._buf = None
+        self._scan_buf = None
         self._inv_norms = None
         self._dev_capacity = 0
         if matrix.shape[0]:
@@ -125,6 +129,7 @@ class VectorStore:
     def _jnp_dtype(self):
         return {
             "float32": jnp.float32,
+            "mixed": jnp.float32,
             "bfloat16": jnp.bfloat16,
             "int8": jnp.int8,
         }[self.device_dtype]
@@ -143,6 +148,8 @@ class VectorStore:
             buf = host.astype(self._jnp_dtype())
             self._buf = buf
             self._inv_norms = scan_ops.row_inv_norms(host)
+            if self.device_dtype == "mixed":
+                self._scan_buf = host.astype(jnp.bfloat16)
         self._dev_capacity = dev_cap
         self._dirty_from = self.count
 
@@ -176,6 +183,10 @@ class VectorStore:
                     self._buf, self._inv_norms = scan_ops.update_rows(
                         self._buf, self._inv_norms, rows, start
                     )
+                    if self.device_dtype == "mixed":
+                        self._scan_buf = scan_ops.update_rows_cast(
+                            self._scan_buf, rows, start
+                        )
                 self._dirty_from = self.count
         return self._buf, self._inv_norms, self.count
 
@@ -203,7 +214,10 @@ class VectorStore:
         if self._use_pallas(mode, q.shape[0]):
             from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
 
-            vals, idx = pallas_scan_topk(buf, inv_norms, q, count, kb, mask_dev)
+            vals, idx = pallas_scan_topk(
+                buf, inv_norms, q, count, kb, mask_dev,
+                scan_buf=self._scan_buf if self.device_dtype == "mixed" else None,
+            )
         elif self.device_dtype == "int8":
             vals, idx = scan_ops.scan_topk_int8(
                 buf, inv_norms, q, count, kb, mask_dev, mode

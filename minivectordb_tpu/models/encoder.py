@@ -95,12 +95,40 @@ def _dense(x, p):
     ).astype(x.dtype)
 
 
+def _use_flash_attention(seq: int, head_dim: int) -> bool:
+    """Use the official Pallas flash-attention kernel on TPU for long
+    sequences (O(seq) memory, fused softmax); einsum attention elsewhere
+    (CPU backend, short sequences where kernel launch overhead dominates)."""
+    return (
+        jax.default_backend() != "cpu"
+        and seq >= 256
+        and seq % 128 == 0
+        and head_dim >= 32
+    )
+
+
 def _attention(x, layer, mask, cfg: EncoderConfig):
     b, s, h = x.shape
     nh, hd = cfg.heads, cfg.hidden // cfg.heads
     q = _dense(x, layer["q"]).reshape(b, s, nh, hd)
     k = _dense(x, layer["k"]).reshape(b, s, nh, hd)
     v = _dense(x, layer["v"]).reshape(b, s, nh, hd)
+    if _use_flash_attention(s, hd):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        seg = mask.astype(jnp.int32)  # pads form their own segment (0)
+        ctx = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            segment_ids=SegmentIds(q=seg, kv=seg),
+            sm_scale=float(1.0 / np.sqrt(hd)),
+        ).transpose(0, 2, 1, 3)
+        ctx = ctx.astype(x.dtype).reshape(b, s, h)
+        return _dense(ctx, layer["attn_out"])
     logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / np.sqrt(hd)
     neg = jnp.finfo(jnp.float32).min

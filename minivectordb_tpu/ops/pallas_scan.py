@@ -132,12 +132,18 @@ def subtile_maxima(buf, inv_norms, q, count, mask=None):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "margin"))
-def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None, margin: int = 16):
+def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
+                     margin: int | None = None, scan_buf=None):
     """Exact fused scan + top-k without materializing (B, C) scores.
 
     buf: (C, d) float32/bfloat16, C a power of two >= 4096 (so every
     row-tile size divides it); q: (B, d) float32; count: live rows.
     Returns (values (B, k) f32, indices (B, k) int32), descending.
+
+    scan_buf: optional lower-precision shadow of buf (e.g. bfloat16) used
+    ONLY for phase-1 subtile selection — phase-3 still rescores from `buf`
+    at full precision ("mixed" mode: ~2x phase-1 bandwidth/compute, recall
+    governed by `margin` absorbing the shadow's rounding of subtile maxima).
     """
     c, d = buf.shape
     b = q.shape[0]
@@ -147,10 +153,15 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None, margin: int = 16):
     if bp != b:
         qn = jnp.pad(qn, ((0, bp - b), (0, 0)))
 
+    p1_buf = buf if scan_buf is None else scan_buf
     mask_f = None if mask is None else mask.astype(jnp.float32)
-    maxima = subtile_maxima(buf, inv_norms, qn.astype(buf.dtype), count, mask_f)
+    maxima = subtile_maxima(p1_buf, inv_norms, qn.astype(p1_buf.dtype), count, mask_f)
     maxima = maxima.T  # (bp, C/SUBTILE)
 
+    if margin is None:
+        # default: modest oversampling for float wobble; wider net when
+        # phase 1 selects on a rounded (bf16) shadow
+        margin = 2 * k if scan_buf is not None else 16
     n_sub = min(k + margin, c // SUBTILE)
     _, sub_idx = jax.lax.top_k(maxima, n_sub)  # (bp, n_sub) subtile ids
 

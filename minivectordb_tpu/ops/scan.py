@@ -181,6 +181,15 @@ def update_rows(buf, inv_norms, rows, start):
     return buf, inv_norms
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def update_rows_cast(buf_lowp, rows, start):
+    """Write f32 `rows` into a lower-precision shadow buffer in place
+    (the 'mixed' mode's bfloat16 phase-1 shadow)."""
+    return jax.lax.dynamic_update_slice(
+        buf_lowp, rows.astype(buf_lowp.dtype), (start, 0)
+    )
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def update_rows_int8(buf_i8, inv_norms_i8, rows, start):
     """Quantize `rows` (f32) to int8 and write in place at `start`."""

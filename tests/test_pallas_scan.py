@@ -44,3 +44,47 @@ def test_pallas_scan_count_masking():
     inv = scan_ops.row_inv_norms(buf)
     vals, idx = pallas_scan_topk(buf, inv, jnp.asarray(q), 3000, 5)
     assert (np.asarray(idx)[0] < 3000).all()
+
+
+def test_pallas_mixed_shadow_scan():
+    """bf16 phase-1 shadow + f32 rescore: indices match exact, scores are
+    full-precision (not bf16-rounded)."""
+    rng = np.random.default_rng(2)
+    n, d = 6000, 24
+    cap = scan_ops.capacity_bucket(n)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    buf = jnp.asarray(np.vstack([mat, np.zeros((cap - n, d), np.float32)]))
+    shadow = buf.astype(jnp.bfloat16)
+    inv = scan_ops.row_inv_norms(buf)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+
+    vals, idx = pallas_scan_topk(
+        buf, inv, jnp.asarray(q), n, 8, scan_buf=shadow
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    norms = np.linalg.norm(mat, axis=1)
+    for b in range(2):
+        qn = q[b] / np.linalg.norm(q[b])
+        scores = (mat @ qn) / norms
+        oracle = np.argsort(-scores)[:8]
+        assert set(idx[b].tolist()) == set(oracle.tolist())
+        # rescored at f32: tight tolerance, NOT bf16 (~3e-3) granularity
+        np.testing.assert_allclose(
+            vals[b], np.sort(scores[oracle])[::-1], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_store_mixed_mode_smoke():
+    from minivectordb_tpu.core.store import VectorStore
+
+    rng = np.random.default_rng(3)
+    store = VectorStore(16, device_dtype="mixed")
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    store.append(mat)
+    vals, idx = store.search(mat[[5]], k=1)
+    assert idx[0][0] == 5
+    assert vals[0][0] > 0.99999
+    # incremental append keeps shadow consistent
+    store.append(rng.standard_normal((50, 16)).astype(np.float32))
+    vals, idx = store.search(mat[[7]], k=1)
+    assert idx[0][0] == 7
