@@ -165,12 +165,17 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
     n_sub = min(k + margin, c // SUBTILE)
     _, sub_idx = jax.lax.top_k(maxima, n_sub)  # (bp, n_sub) subtile ids
 
-    # Phase 3: gather winning subtiles and rescore exactly, in query chunks
-    # (a full-batch gather would materialize B*n_sub*SUBTILE*d floats).
-    sub_buf = buf.reshape(c // SUBTILE, SUBTILE, d)
+    # Phase 3: gather winning subtiles and rescore, in query chunks (a
+    # full-batch gather would materialize B*n_sub*SUBTILE*d floats). With a
+    # shadow, the wide rescore runs on the bf16 shadow (half the gather
+    # traffic, native-MXU matmul) and only the surviving k+8 rows get an
+    # exact f32 re-rescore afterwards.
+    p3_buf = buf if scan_buf is None else scan_buf
+    sub_buf = p3_buf.reshape(c // SUBTILE, SUBTILE, d)
     sub_inv = inv_norms.reshape(c // SUBTILE, SUBTILE)
     sub_mask = None if mask_f is None else mask_f.reshape(c // SUBTILE, SUBTILE)
-    kk = min(k, n_sub * SUBTILE)
+    refine = scan_buf is not None
+    k_wide = min(k + 8 if refine else k, n_sub * SUBTILE)
 
     def chunk_fn(args):
         q_chunk, sidx_chunk = args  # (CH, d), (CH, n_sub)
@@ -194,7 +199,7 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
         if sub_mask is not None:
             valid = jnp.logical_and(valid, sub_mask[sidx_chunk] > 0)
         scores = jnp.where(valid, scores, _MASKED_SCORE)
-        vals, pos = jax.lax.top_k(scores.reshape(ch, -1), kk)
+        vals, pos = jax.lax.top_k(scores.reshape(ch, -1), k_wide)
         idx = jnp.take_along_axis(gids.reshape(ch, -1), pos, axis=-1)
         return vals, idx
 
@@ -205,6 +210,22 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
         qc = qn.reshape(n_chunks, _PHASE3_CHUNK, d)
         sc = sub_idx.reshape(n_chunks, _PHASE3_CHUNK, n_sub)
         vals, idx = jax.lax.map(chunk_fn, (qc, sc))
-        vals = vals.reshape(bp, kk)
-        idx = idx.reshape(bp, kk)
+        vals = vals.reshape(bp, k_wide)
+        idx = idx.reshape(bp, k_wide)
+
+    if refine:
+        # exact f32 re-rescore of the k_wide survivors (tiny gather)
+        rows = buf[idx]  # (bp, k_wide, d) f32
+        rescored = jnp.einsum(
+            "bd,bkd->bk",
+            qn,
+            rows,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rescored = rescored * inv_norms[idx]
+        rescored = jnp.where(vals > -1.0e38, rescored, _MASKED_SCORE)
+        kk = min(k, k_wide)
+        vals, pos = jax.lax.top_k(rescored, kk)
+        idx = jnp.take_along_axis(idx, pos, axis=-1)
     return vals[:b], idx[:b].astype(jnp.int32)
