@@ -246,6 +246,35 @@ def config5_ivf_1m(quick=False):
     return {"n": n, "d": d, "nlist": nlist, "build_s": build_s, **results}
 
 
+def encoder_throughput(quick=False):
+    """Embeddings/sec for the builtin encoder (batch path vs the
+    reference's strict batch=1)."""
+    from minivectordb_tpu.embedding_model import EmbeddingModel
+
+    model = EmbeddingModel()
+    texts = [f"sample sentence number {i} about topic {i % 7}" for i in range(128)]
+    model.extract_embeddings_batch(texts[:64])  # warm/compile
+    model.extract_embeddings(texts[0])
+
+    t0 = time.perf_counter()
+    iters = 3 if quick else 10
+    for _ in range(iters):
+        model.extract_embeddings_batch(texts[:64])
+    batch_eps = iters * 64 / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    n_single = 10 if quick else 30
+    for i in range(n_single):
+        model.extract_embeddings(texts[i % len(texts)])
+    single_eps = n_single / (time.perf_counter() - t0)
+    return {
+        "model": "builtin-512 (fallback weights)",
+        "batch64_embeddings_per_s": batch_eps,
+        "single_embeddings_per_s": single_eps,
+        "batch_speedup": batch_eps / single_eps,
+    }
+
+
 def recall_harness(quick=False):
     """Recall@10 of the speed modes vs the exact float32 oracle."""
     from minivectordb_tpu.ops import scan as scan_ops
@@ -302,6 +331,7 @@ def main():
         ("config4_sharded_multithreaded", config4_sharded_multithreaded,
          {"quick": args.quick}),
         ("config5_ivf", config5_ivf_1m, {"quick": args.quick}),
+        ("encoder_throughput", encoder_throughput, {"quick": args.quick}),
         ("recall_harness", recall_harness, {"quick": args.quick}),
     ]
     for name, fn, kwargs in steps:

@@ -212,12 +212,19 @@ class VectorStore:
             padded[: mask.shape[0]] = mask
             mask_dev = jnp.asarray(padded)
         if self._use_pallas(mode, q.shape[0]):
-            from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
+            if self.device_dtype == "int8":
+                from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk_int8
 
-            vals, idx = pallas_scan_topk(
-                buf, inv_norms, q, count, kb, mask_dev,
-                scan_buf=self._scan_buf if self.device_dtype == "mixed" else None,
-            )
+                vals, idx = pallas_scan_topk_int8(
+                    buf, inv_norms, q, count, kb, mask_dev
+                )
+            else:
+                from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
+
+                vals, idx = pallas_scan_topk(
+                    buf, inv_norms, q, count, kb, mask_dev,
+                    scan_buf=self._scan_buf if self.device_dtype == "mixed" else None,
+                )
         elif self.device_dtype == "int8":
             vals, idx = scan_ops.scan_topk_int8(
                 buf, inv_norms, q, count, kb, mask_dev, mode
@@ -245,7 +252,6 @@ class VectorStore:
         return (
             mode == "exact"
             and batch >= 16
-            and self.device_dtype != "int8"
             and self._dev_capacity >= 4096
             and jax.default_backend() != "cpu"
         )

@@ -88,3 +88,26 @@ def test_store_mixed_mode_smoke():
     store.append(rng.standard_normal((50, 16)).astype(np.float32))
     vals, idx = store.search(mat[[7]], k=1)
     assert idx[0][0] == 7
+
+
+def test_pallas_int8_matches_xla_int8():
+    """Int8 two-phase kernel must agree with the XLA int8 scan (same
+    quantized metric) on indices and scores."""
+    rng = np.random.default_rng(4)
+    n, d = 5000, 32
+    cap = scan_ops.capacity_bucket(n)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    host = jnp.asarray(np.vstack([mat, np.zeros((cap - n, d), np.float32)]))
+    buf_i8, inv_i8 = scan_ops.update_rows_int8(
+        jnp.zeros((cap, d), jnp.int8), jnp.zeros((cap,), jnp.float32), host, 0
+    )
+    q = jnp.asarray(rng.standard_normal((3, d)).astype(np.float32))
+
+    from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk_int8
+
+    pv, pi = pallas_scan_topk_int8(buf_i8, inv_i8, q, n, 8)
+    ev, ei = scan_ops.scan_topk_int8(buf_i8, inv_i8, q, n, 8)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ei)[:, :8])
+    np.testing.assert_allclose(
+        np.asarray(pv), np.asarray(ev)[:, :8], rtol=1e-5, atol=1e-6
+    )
