@@ -145,7 +145,29 @@ class IVFIndex:
             sample = unit
         centroids, _ = _kmeans_device(jnp.asarray(sample), key, nlist, self.iters)
         assign = np.asarray(_assign_full(jnp.asarray(unit), centroids))
-        self.centroids = centroids
+        centroids_np = np.asarray(centroids)
+
+        # Skew control: uniform padding with P = max list size explodes when
+        # clusters are skewed (P * nlist * d memory). Cap P near a high
+        # quantile and SPLIT oversized clusters into duplicate centroids —
+        # duplicates have identical query similarity, so they rank adjacent
+        # and a probed centroid's overflow lists get probed with it.
+        counts = np.bincount(assign, minlength=nlist)
+        cap = int(max(8, np.quantile(counts[counts > 0], 0.95) * 1.5))
+        new_centroids = [centroids_np]
+        next_id = nlist
+        for c in np.nonzero(counts > cap)[0]:
+            rows = np.nonzero(assign == c)[0]
+            n_parts = int(np.ceil(len(rows) / cap))
+            for p in range(1, n_parts):
+                part = rows[p * cap : (p + 1) * cap]
+                assign[part] = next_id
+                new_centroids.append(centroids_np[c][None, :])
+                next_id += 1
+        if next_id > nlist:
+            centroids_np = np.vstack(new_centroids)
+            nlist = next_id
+        self.centroids = jnp.asarray(centroids_np)
 
         # cluster-major re-pack with uniform padding
         order = np.argsort(assign, kind="stable")

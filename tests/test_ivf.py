@@ -54,3 +54,26 @@ def test_ivf_k_larger_than_probed_rows_is_bounded():
     # all returned ids valid and unique
     assert len(set(ids[0].tolist())) == 50
     assert (vals[0] > -1e38).all()
+
+
+def test_ivf_skewed_clusters_bounded_padding():
+    """Heavily skewed data must not explode the padded layout: oversized
+    clusters split into duplicate centroids, and recall stays high."""
+    rng = np.random.default_rng(5)
+    # 90% of points in one tight blob, rest spread out
+    blob = rng.standard_normal((1800, 16)) * 0.1 + 5.0
+    rest = rng.standard_normal((200, 16)) * 3.0
+    mat = np.vstack([blob, rest]).astype(np.float32)
+    index = IVFIndex(nlist=16, nprobe=8, iters=5)
+    index.build(mat)
+    # padding stays near the cap, far below the 1800-row blob
+    assert index.pad_len < 1000
+    # queries in the blob recall their neighbors (duplicate centroids rank
+    # adjacent, so probes cover the split lists)
+    q = mat[[10, 50, 1900]]
+    vals, ids = index.search(q, k=10)
+    hits = 0
+    for b in range(3):
+        oracle = _oracle_topk(mat, q[b], 10)
+        hits += len(oracle & set(ids[b].tolist()))
+    assert hits / 30 >= 0.8, hits / 30
