@@ -129,9 +129,11 @@ class ShardRegistry:
         for uid in doomed:
             self.inverse_box_item_map.pop(uid, None)
 
-    def read_vector(self, uid, row_in_global: int, global_uids: list) -> np.ndarray:
-        """Disk read of one vector (reference get_vector reads the shard file,
-        sharded_vector_database.py:86-96)."""
+    def read_vector(self, uid) -> np.ndarray:
+        """Disk read of one vector (reference get_vector reads the shard
+        file, sharded_vector_database.py:86-96 — but indexes it with the
+        GLOBAL row number, a latent multi-shard bug; here the uid is located
+        within its own shard)."""
         shard_id = self.inverse_box_item_map[uid]
         with open(_shard_path(self.storage_dir, shard_id), "rb") as f:
             data = pickle.load(f)

@@ -122,10 +122,15 @@ class EmbeddingModel:
         use_quantized_onnx_model: bool = True,
         alternative_model: AlternativeModel = AlternativeModel.bgem3,
         onnx_model_cpu_core_count=None,
+        compute_dtype: str | None = None,
         **kwargs,
     ):
+        """compute_dtype: optional 'bfloat16' casts encoder params for ~2x
+        MXU throughput (layernorm/softmax/pooling stay float32 internally;
+        embeddings differ from float32 by ~1e-3 — fine for retrieval)."""
         self.use_quantized_onnx_model = use_quantized_onnx_model
         self.onnx_model_cpu_core_count = onnx_model_cpu_core_count
+        self.compute_dtype = compute_dtype
         assert (
             isinstance(self.onnx_model_cpu_core_count, int)
             or self.onnx_model_cpu_core_count is None
@@ -145,9 +150,19 @@ class EmbeddingModel:
 
     def load_onnx_model(self) -> None:
         self.model, self.is_pretrained = _load_encoder("builtin")
+        self._maybe_cast()
 
     def load_alternative_model(self) -> None:
         self.model, self.is_pretrained = _load_encoder(self.alternative_model.value)
+        self._maybe_cast()
+
+    def _maybe_cast(self) -> None:
+        if self.compute_dtype == "bfloat16":
+            import jax
+
+            self.model.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), self.model.params
+            )
 
     # -- extraction (names preserved from the reference) -------------------
 

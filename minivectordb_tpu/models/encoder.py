@@ -167,8 +167,10 @@ def encode(params, cfg: EncoderConfig, input_ids, attention_mask):
 
 
 def mean_pool_normalize(hidden, attention_mask):
-    """Masked mean-pool + L2 normalize (reference embedding_model.py:50-53,70)."""
-    m = attention_mask[..., None].astype(hidden.dtype)
+    """Masked mean-pool + L2 normalize (reference embedding_model.py:50-53,70).
+    Accumulates in float32 regardless of the encoder compute dtype."""
+    hidden = hidden.astype(jnp.float32)
+    m = attention_mask[..., None].astype(jnp.float32)
     summed = jnp.sum(hidden * m, axis=1)
     counts = jnp.maximum(jnp.sum(m, axis=1), 1.0)
     pooled = summed / counts
@@ -181,7 +183,7 @@ def cls_pool_normalize(hidden, attention_mask):
     """CLS-token pooling + L2 normalize (bge-m3 dense vectors use CLS;
     FlagEmbedding BGEM3 'dense_vecs' come from the CLS hidden state)."""
     del attention_mask
-    pooled = hidden[:, 0, :]
+    pooled = hidden[:, 0, :].astype(jnp.float32)
     return pooled / jnp.maximum(
         jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
     )

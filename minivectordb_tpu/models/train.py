@@ -19,7 +19,6 @@ pipeline or sequence parallelism pays (SURVEY.md §5).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -203,9 +203,7 @@ class ShardedVectorDatabase:
             if self.durability == "wal":
                 # shard files may lag the WAL; RAM is authoritative
                 return self._engine.get_row(unique_id)
-            return self._shards.read_vector(
-                unique_id, self._engine.inverse_id_map[unique_id], self._engine.uids
-            )
+            return self._shards.read_vector(unique_id)
 
     def store_embedding(self, unique_id, embedding, metadata_dict=None) -> None:
         metadata_dict = {} if metadata_dict is None else metadata_dict

@@ -77,3 +77,14 @@ def test_batch_embedding_matches_single():
     for i, t in enumerate(texts):
         single = np.asarray(m.extract_embeddings(t))
         np.testing.assert_allclose(batch[i], single, rtol=2e-2, atol=2e-2)
+
+
+def test_bfloat16_compute_dtype_close_to_float32():
+    m32 = EmbeddingModel(use_quantized_onnx_model=True)
+    m16 = EmbeddingModel(use_quantized_onnx_model=True, compute_dtype="bfloat16")
+    e32 = np.asarray(m32.extract_embeddings("precision check sentence"))
+    e16 = np.asarray(m16.extract_embeddings("precision check sentence"))
+    assert e16.dtype == np.float32  # pooling outputs f32
+    # same direction: high cosine between the two embeddings
+    cos = float(e32 @ e16 / (np.linalg.norm(e32) * np.linalg.norm(e16)))
+    assert cos > 0.999, cos
