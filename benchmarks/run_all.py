@@ -208,25 +208,25 @@ def config5_ivf_1m(quick=False):
     assign = rng.integers(0, n_centers, n)
     mat = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
 
-    index = IVFIndex(nlist=nlist, nprobe=32, iters=8, device_dtype="bfloat16")
-    t0 = time.perf_counter()
-    index.build(mat)
-    build_s = time.perf_counter() - t0
-
     nq = 64
     queries = mat[rng.choice(n, nq, replace=False)] + 0.05 * rng.standard_normal(
         (nq, d)
     ).astype(np.float32)
 
-    # exact oracle on device (for recall) — scan in chunks
-    cap = scan_ops.capacity_bucket(n)
-    buf = jnp.asarray(
-        np.vstack([mat, np.zeros((cap - n, d), np.float32)])
-    )
-    inv = scan_ops.row_inv_norms(buf)
-    evals, eidx = scan_ops.scan_topk(buf, inv, jnp.asarray(queries), n, 16)
-    eidx = np.asarray(eidx)[:, :10]
-    del buf, inv
+    # exact oracle on the HOST (numpy) — costs ~10s but uses zero HBM, so
+    # the oracle never competes with the IVF lists for device memory
+    norms = np.linalg.norm(mat, axis=1)
+    eidx = np.empty((nq, 10), dtype=np.int64)
+    for b in range(nq):
+        qn = queries[b] / np.linalg.norm(queries[b])
+        scores = (mat @ qn) / norms
+        part = np.argpartition(-scores, 10)[:10]
+        eidx[b] = part[np.argsort(-scores[part])]
+
+    index = IVFIndex(nlist=nlist, nprobe=32, iters=8, device_dtype="bfloat16")
+    t0 = time.perf_counter()
+    index.build(mat)
+    build_s = time.perf_counter() - t0
 
     results = {}
     for nprobe in (8, 32, 64):
@@ -319,10 +319,24 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small sizes (CPU smoke)")
     parser.add_argument("--skip", default="", help="comma-separated config names")
+    parser.add_argument("--only", default="", help="run a single config")
+    parser.add_argument("--inline", action="store_true",
+                        help="run configs in-process (default: one subprocess "
+                        "per config so a device-state leak can't poison the rest)")
     args = parser.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "full_report.json")
+    # merge into any existing report so partial (--skip) runs don't drop
+    # previously measured configs
     report = {"quick": args.quick}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                report = {**json.load(f), "quick": args.quick}
+        except Exception:
+            pass
     steps = [
         ("config1_readme_flow", config1_readme_flow, {}),
         ("config2_filters_mutations", config2_filters_and_mutations,
@@ -334,6 +348,24 @@ def main():
         ("encoder_throughput", encoder_throughput, {"quick": args.quick}),
         ("recall_harness", recall_harness, {"quick": args.quick}),
     ]
+    if args.only:
+        steps = [s for s in steps if s[0] == args.only]
+    if not args.inline and not args.only:
+        # subprocess per config: the axon runtime can leak device memory
+        # after a failed transfer, which would poison later configs
+        import subprocess
+
+        for name, _, _ in steps:
+            if name in skip:
+                continue
+            cmd = [sys.executable, os.path.abspath(__file__), "--only", name,
+                   "--inline"] + (["--quick"] if args.quick else [])
+            subprocess.run(cmd)
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "full_report.json")
+        print(f"\nreport -> {out_path}")
+        return
+
     for name, fn, kwargs in steps:
         if name in skip:
             continue
@@ -346,9 +378,15 @@ def main():
         except Exception as e:  # keep going; report the failure
             report[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"[FAIL] {name}: {report[name]['error']}", flush=True)
+        finally:
+            # drop exception tracebacks (they pin device buffers) and collect
+            import gc
+            import sys as _sys
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "full_report.json")
+            if hasattr(_sys, "last_traceback"):
+                _sys.last_traceback = None
+            gc.collect()
+
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"\nreport -> {out_path}")

@@ -143,8 +143,14 @@ class IVFIndex:
             sample = unit[rng.choice(n, train_cap, replace=False)]
         else:
             sample = unit
-        centroids, _ = _kmeans_device(jnp.asarray(sample), key, nlist, self.iters)
-        assign = np.asarray(_assign_full(jnp.asarray(unit), centroids))
+        sample_dev = jnp.asarray(sample)
+        centroids, _ = _kmeans_device(sample_dev, key, nlist, self.iters)
+        del sample_dev
+        unit_dev = jnp.asarray(unit)
+        # np.array (copy): np.asarray of a jax array is READ-ONLY and the
+        # skew-split below mutates assignments in place
+        assign = np.array(_assign_full(unit_dev, centroids))
+        del unit_dev  # free the 4*n*d-byte assignment staging before packing
         centroids_np = np.asarray(centroids)
 
         # Skew control: uniform padding with P = max list size explodes when
@@ -178,19 +184,28 @@ class IVFIndex:
         pad = (pad + 7) // 8 * 8
         self.pad_len = pad
 
-        lists = np.zeros((nlist, pad, d), dtype=np.float32)
-        list_ids = np.zeros((nlist, pad), dtype=np.int32)
-        valid = np.zeros((nlist, pad), dtype=bool)
-        start = 0
-        for c in range(nlist):
-            cnt = counts[c]
-            rows = order[start : start + cnt]
-            lists[c, :cnt] = unit[rows]  # store normalized: IP == cosine
-            list_ids[c, :cnt] = rows
-            valid[c, :cnt] = True
-            start += cnt
-        dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" else jnp.float32
-        self._lists = jnp.asarray(lists, dtype=dtype)
+        # vectorized cluster-major scatter: rank of each row within its
+        # cluster = position in the sorted order minus the cluster's start
+        starts = np.zeros(nlist, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        rank = np.arange(len(order), dtype=np.int64) - starts[sorted_assign]
+        slot = sorted_assign.astype(np.int64) * pad + rank
+        lists = np.zeros((nlist * pad, d), dtype=np.float32)
+        list_ids = np.zeros(nlist * pad, dtype=np.int32)
+        valid = np.zeros(nlist * pad, dtype=bool)
+        lists[slot] = unit[order]  # store normalized: IP == cosine
+        list_ids[slot] = order
+        valid[slot] = True
+        lists = lists.reshape(nlist, pad, d)
+        list_ids = list_ids.reshape(nlist, pad)
+        valid = valid.reshape(nlist, pad)
+        if self.device_dtype == "bfloat16":
+            # cast on the HOST (ml_dtypes) so the upload is half-size and no
+            # multi-GB on-device cast program is needed
+            import ml_dtypes
+
+            lists = lists.astype(ml_dtypes.bfloat16)
+        self._lists = jnp.asarray(lists)
         self._list_ids = jnp.asarray(list_ids)
         self._list_valid = jnp.asarray(valid)
 
