@@ -137,7 +137,7 @@ class VectorStore:
     def _full_upload(self, dev_cap: int) -> None:
         padded = np.zeros((dev_cap, self.dim), dtype=np.float32)
         padded[: self.count] = self._data[: self.count]
-        host = jnp.asarray(padded)
+        host = scan_ops.chunked_device_put(padded)
         if self.device_dtype == "int8":
             zeros_buf = jnp.zeros((dev_cap, self.dim), dtype=jnp.int8)
             zeros_n = jnp.zeros((dev_cap,), dtype=jnp.float32)

@@ -72,8 +72,25 @@ def _kmeans_device(data, key, nlist, iters):
 
 
 @jax.jit
-def _assign_full(data, centroids):
-    return _assign_chunked(data, centroids)
+def _assign_slab(data, centroids):
+    sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
+    return jnp.argmax(sims, axis=1)
+
+
+def _assign_full_hostchunked(unit: np.ndarray, centroids) -> np.ndarray:
+    """Assign every row without ever holding the full corpus in HBM: upload
+    fixed-size host slabs, assign, discard (peak device memory = one slab +
+    centroids)."""
+    n, d = unit.shape
+    slab = _ASSIGN_CHUNK
+    out = np.empty(n, dtype=np.int64)
+    for start in range(0, n, slab):
+        write_at = min(start, max(0, n - slab)) if n >= slab else 0
+        piece = jnp.asarray(np.ascontiguousarray(unit[write_at : write_at + slab]))
+        out[write_at : write_at + slab] = np.asarray(
+            _assign_slab(piece, centroids)
+        )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
@@ -143,23 +160,24 @@ class IVFIndex:
             sample = unit[rng.choice(n, train_cap, replace=False)]
         else:
             sample = unit
-        sample_dev = jnp.asarray(sample)
+        from minivectordb_tpu.ops.scan import chunked_device_put
+
+        sample_dev = chunked_device_put(sample)
         centroids, _ = _kmeans_device(sample_dev, key, nlist, self.iters)
         del sample_dev
-        unit_dev = jnp.asarray(unit)
-        # np.array (copy): np.asarray of a jax array is READ-ONLY and the
-        # skew-split below mutates assignments in place
-        assign = np.array(_assign_full(unit_dev, centroids))
-        del unit_dev  # free the 4*n*d-byte assignment staging before packing
+        # host-chunked assignment: the full corpus never resides in HBM
+        assign = _assign_full_hostchunked(unit, centroids)
         centroids_np = np.asarray(centroids)
 
-        # Skew control: uniform padding with P = max list size explodes when
-        # clusters are skewed (P * nlist * d memory). Cap P near a high
-        # quantile and SPLIT oversized clusters into duplicate centroids —
-        # duplicates have identical query similarity, so they rank adjacent
-        # and a probed centroid's overflow lists get probed with it.
+        # Skew control: the packed layout costs nlist_eff * P * d memory, so
+        # P must stay near the BALANCED list size regardless of skew. Split
+        # every cluster above cap into duplicate centroids (identical query
+        # similarity -> duplicates rank adjacent, so a probed centroid's
+        # overflow lists get probed with it) and drop empty clusters
+        # entirely (an empty list can never contain a result). Total slots
+        # are then <= ~n * 1.5 + nlist * small.
         counts = np.bincount(assign, minlength=nlist)
-        cap = int(max(8, np.quantile(counts[counts > 0], 0.95) * 1.5))
+        cap = int(max(8, np.ceil(1.5 * n / max(1, nlist))))
         new_centroids = [centroids_np]
         next_id = nlist
         for c in np.nonzero(counts > cap)[0]:
@@ -173,6 +191,14 @@ class IVFIndex:
         if next_id > nlist:
             centroids_np = np.vstack(new_centroids)
             nlist = next_id
+        counts = np.bincount(assign, minlength=nlist)
+        nonempty = np.nonzero(counts > 0)[0]
+        if len(nonempty) < nlist:
+            remap = np.full(nlist, -1, dtype=np.int64)
+            remap[nonempty] = np.arange(len(nonempty))
+            assign = remap[assign]
+            centroids_np = centroids_np[nonempty]
+            nlist = len(nonempty)
         self.centroids = jnp.asarray(centroids_np)
 
         # cluster-major re-pack with uniform padding
@@ -205,7 +231,10 @@ class IVFIndex:
             import ml_dtypes
 
             lists = lists.astype(ml_dtypes.bfloat16)
-        self._lists = jnp.asarray(lists)
+        from minivectordb_tpu.ops.scan import chunked_device_put
+
+        flat = lists.reshape(nlist * pad, d)
+        self._lists = chunked_device_put(flat).reshape(nlist, pad, d)
         self._list_ids = jnp.asarray(list_ids)
         self._list_valid = jnp.asarray(valid)
 

@@ -181,6 +181,37 @@ def update_rows(buf, inv_norms, rows, start):
     return buf, inv_norms
 
 
+# Large host->device transfers go up in bounded slabs: this runtime's
+# compile helper has been observed to fail on multi-GB single-copy programs
+# (HTTP 500 on the copy-start program), and slabs also bound host staging.
+_UPLOAD_SLAB_BYTES = 256 << 20
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_slab(buf, rows, start):
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (start, 0))
+
+
+def chunked_device_put(host: np.ndarray, dtype=None) -> jax.Array:
+    """Upload a (N, d) host array as bounded slabs into a device buffer."""
+    n, d = host.shape
+    out_dtype = host.dtype if dtype is None else dtype
+    row_bytes = d * np.dtype(host.dtype).itemsize
+    slab = max(1, _UPLOAD_SLAB_BYTES // max(row_bytes, 1))
+    if n <= slab:
+        arr = jnp.asarray(host)
+        return arr.astype(out_dtype) if arr.dtype != out_dtype else arr
+    slab = capacity_bucket(slab, 8) >> 1  # pow2 rows -> one compile per shape
+    buf = jnp.zeros((n, d), dtype=out_dtype)
+    for start in range(0, n, slab):
+        # the final window shifts left to stay in bounds (rewriting a few
+        # already-clean rows is harmless)
+        write_at = min(start, n - slab)
+        piece = np.ascontiguousarray(host[write_at : write_at + slab])
+        buf = _write_slab(buf, jnp.asarray(piece), write_at)
+    return buf
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def update_rows_cast(buf_lowp, rows, start):
     """Write f32 `rows` into a lower-precision shadow buffer in place
