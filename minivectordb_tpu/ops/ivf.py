@@ -107,16 +107,25 @@ def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
     def one(query):
         cscores = jnp.dot(centroids, query, preferred_element_type=jnp.float32)
         _, probe = jax.lax.top_k(cscores, nprobe)  # (nprobe,)
-        cand = lists[probe]  # (nprobe, P, d)
-        cand_ids = list_ids[probe]
-        cand_valid = list_valid[probe]
-        scores = jnp.einsum(
-            "d,npd->np",
-            query.astype(cand.dtype),
-            cand,
-            preferred_element_type=jnp.float32,
-        )
-        scores = jnp.where(cand_valid, scores, _MASKED_SCORE)
+        qd = query.astype(lists.dtype)
+
+        def scan_list(list_id):
+            # contiguous dynamic-slice of one list block (fast DMA; a fancy
+            # gather of all probed blocks at once lowers to a slow scatter/
+            # gather pass)
+            block = jax.lax.dynamic_index_in_dim(
+                lists, list_id, axis=0, keepdims=False
+            )  # (P, d)
+            s = jnp.dot(block, qd, preferred_element_type=jnp.float32)
+            valid = jax.lax.dynamic_index_in_dim(
+                list_valid, list_id, axis=0, keepdims=False
+            )
+            ids = jax.lax.dynamic_index_in_dim(
+                list_ids, list_id, axis=0, keepdims=False
+            )
+            return jnp.where(valid, s, _MASKED_SCORE), ids
+
+        scores, cand_ids = jax.lax.map(scan_list, probe)  # (nprobe, P)
         vals, pos = jax.lax.top_k(scores.reshape(-1), k)
         ids = cand_ids.reshape(-1)[pos]
         return vals, ids
@@ -206,8 +215,10 @@ class IVFIndex:
         sorted_assign = assign[order]
         counts = np.bincount(sorted_assign, minlength=nlist)
         pad = int(max(1, counts.max()))
-        # round pad to a multiple of 8 (f32 sublane) for clean tiling
-        pad = (pad + 7) // 8 * 8
+        # round pad to a multiple of 128: the Pallas probe kernel stores
+        # per-list score rows at lane offsets i*P, which Mosaic must prove
+        # 128-aligned (memory cost vs %8 rounding is < ~1.5x at cap>=256)
+        pad = (pad + 127) // 128 * 128
         self.pad_len = pad
 
         # vectorized cluster-major scatter: rank of each row within its
@@ -243,13 +254,28 @@ class IVFIndex:
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)
-        vals, ids = _ivf_search(
-            self.centroids,
-            self._lists,
-            self._list_ids,
-            self._list_valid,
-            q,
-            nprobe,
-            kk,
-        )
+        if jax.default_backend() != "cpu":
+            # paged Pallas probe: scalar-prefetched list ids drive the block
+            # DMAs (ops/pallas_ivf.py) — far faster than the XLA formulations
+            from minivectordb_tpu.ops.pallas_ivf import pallas_ivf_search
+
+            vals, ids = pallas_ivf_search(
+                self.centroids,
+                self._lists,
+                self._list_ids,
+                self._list_valid,
+                q,
+                nprobe,
+                kk,
+            )
+        else:
+            vals, ids = _ivf_search(
+                self.centroids,
+                self._lists,
+                self._list_ids,
+                self._list_valid,
+                q,
+                nprobe,
+                kk,
+            )
         return np.asarray(vals), np.asarray(ids)
