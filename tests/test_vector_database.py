@@ -441,3 +441,36 @@ def test_batched_query_api():
     results = db.find_most_similar_batch(queries, k=1)
     assert len(results) == 3
     assert [r[0][0] for r in results] == [3, 17, 40]
+
+
+def test_load_reference_written_pickle():
+    """A db.pkl written by the REFERENCE (faiss-normalized embeddings,
+    defaultdict inverted_index, int-keyed id_map) must load and serve."""
+    import pickle
+    from collections import defaultdict
+
+    emb = np.asarray([[1.0, 0.0], [0.6, 0.8]], dtype=np.float32)  # L2-normed
+    inv = defaultdict(set)
+    inv["type"].update({7, 9})
+    data = {
+        "embeddings": emb,
+        "metadata": [{"type": "a"}, {"type": "b"}],
+        "id_map": {0: 7, 1: 9},
+        "inverse_id_map": {7: 0, 9: 1},
+        "inverted_index": inv,
+    }
+    path = f"{uuid.uuid4()}.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    try:
+        db = VectorDatabase(storage_file=path)
+        assert db.embedding_size == 2
+        assert db.id_map == {0: 7, 1: 9}
+        ids, scores, metas = db.find_most_similar([1.0, 0.0], k=2)
+        assert list(ids) == [7, 9]
+        ids, _, _ = db.find_most_similar([1.0, 0.0], metadata_filter={"type": "b"}, k=2)
+        assert list(ids) == [9]
+        db.delete_embedding(7)
+        assert db.id_map == {0: 9}
+    finally:
+        os.remove(path)
