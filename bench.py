@@ -5,15 +5,19 @@ Prints ONE JSON line:
 
 Per BASELINE.md the reference publishes no numbers; the north-star target is
 ">10x Faiss-CPU QPS on 1M x 384 on a single v5e-8". faiss is not installable
-in this image, so the CPU baseline is the equivalent exact scan via numpy
-(BLAS sgemv + argpartition top-k) on this host — the same brute-force
-IndexFlatIP computes. The headline value is the EXACT float32 mode
-(recall@10 == 1.0 by construction, verified against a numpy oracle before
-timing); faster recall-tradeoff modes (TPU ApproxTopK recall~0.997, bfloat16
-corpus) are reported in benchmarks/latest.json.
+in this image, so the CPU baseline is the moral equivalent of Faiss-CPU
+IndexFlatIP: a BATCHED sgemm scan through this host's BLAS over all
+available cores (chunked over rows so the score matrix stays cache-sized),
+plus a single-query gemv latency figure. The headline value is the EXACT
+float32 mode (recall@10 == 1.0 by construction, verified against a numpy
+oracle before timing); faster recall-tradeoff modes (TPU ApproxTopK
+recall~0.997, bfloat16 corpus) are reported in benchmarks/latest.json.
 
-The corpus is generated directly on device (pushing 1.5 GB through the host
-tunnel would dominate setup).
+The raw-kernel corpus is generated directly on device (pushing 1.5 GB
+through the host tunnel would dominate setup). A second section benches the
+PUBLIC database API (VectorDatabase.find_most_similar / _batch) over a
+host-built 1M x 384 corpus, reporting its efficiency vs the raw kernel
+measured the same synchronous way.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ import numpy as np
 N, D, K = 1_000_000, 384, 10
 QBATCH = 256
 CPU_QUERIES = 4
+CPU_CHUNK = 131_072
 
 
 def _setup_device_corpus():
@@ -140,20 +145,113 @@ def bench_tpu(buf, inv):
     return out
 
 
-def bench_cpu_baseline():
-    rng = np.random.default_rng(0)
-    mat = rng.standard_normal((N, D)).astype(np.float32)
+def _cpu_batched_scan(mat, inv, queries):
+    """Exact top-k like Faiss-CPU IndexFlatIP: one sgemm per row chunk
+    (multithreaded BLAS when cores exist), streaming top-k merge."""
+    b = queries.shape[0]
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    best_v = np.full((b, K), -np.inf, dtype=np.float32)
+    best_i = np.zeros((b, K), dtype=np.int64)
+    for start in range(0, mat.shape[0], CPU_CHUNK):
+        chunk = mat[start : start + CPU_CHUNK]
+        scores = qn @ chunk.T  # (b, chunk) sgemm — the BLAS hot loop
+        scores *= inv[start : start + CPU_CHUNK][None, :]
+        part = np.argpartition(-scores, K - 1, axis=1)[:, :K]
+        vals = np.take_along_axis(scores, part, axis=1)
+        merged_v = np.concatenate([best_v, vals], axis=1)
+        merged_i = np.concatenate([best_i, part + start], axis=1)
+        sel = np.argpartition(-merged_v, K - 1, axis=1)[:, :K]
+        best_v = np.take_along_axis(merged_v, sel, axis=1)
+        best_i = np.take_along_axis(merged_i, sel, axis=1)
+    order = np.argsort(-best_v, axis=1)
+    return np.take_along_axis(best_v, order, axis=1), np.take_along_axis(
+        best_i, order, axis=1
+    )
+
+
+def bench_cpu_baseline(mat):
+    """Honest Faiss-CPU stand-in: batched sgemm QPS (the way Faiss amortizes
+    a query batch over BLAS threads) AND single-query gemv latency."""
     inv = (1.0 / np.linalg.norm(mat, axis=1)).astype(np.float32)
-    queries = rng.standard_normal((CPU_QUERIES, D)).astype(np.float32)
-    s = (mat @ queries[0]) * inv  # warm BLAS
-    np.argpartition(-s, K)[:K]
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((QBATCH, D)).astype(np.float32)
+    _cpu_batched_scan(mat, inv, queries[:8])  # warm BLAS
+    t = time.perf_counter()
+    _cpu_batched_scan(mat, inv, queries)
+    batched_qps = QBATCH / (time.perf_counter() - t)
     start = time.perf_counter()
     for i in range(CPU_QUERIES):
         qn = queries[i] / np.linalg.norm(queries[i])
         scores = (mat @ qn) * inv
         part = np.argpartition(-scores, K)[:K]
         part[np.argsort(-scores[part])]
-    return CPU_QUERIES / (time.perf_counter() - start)
+    single_qps = CPU_QUERIES / (time.perf_counter() - start)
+    return {
+        "batched_qps": batched_qps,
+        "single_qps": single_qps,
+        "cores": os.cpu_count(),
+    }
+
+
+def bench_public_api(mat):
+    """VectorDatabase.find_most_similar(_batch) at 1M x 384 — the criterion
+    is the public path retaining >=70% of the raw kernel's throughput when
+    both are measured identically (synchronous call, result on host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    path = "/tmp/bench_api_db.pkl"
+    if os.path.exists(path):
+        os.remove(path)
+    db = VectorDatabase(storage_file=path)
+    metas = [{"par": i % 10} for i in range(N)]
+    t = time.perf_counter()
+    db._engine.load(mat, list(range(N)), metas)
+    load_s = time.perf_counter() - t
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((QBATCH, D)).astype(np.float32)
+
+    out = {"load_s": load_s}
+
+    def run_batch(**kw):
+        return db.find_most_similar_batch(q, k=K, **kw)
+
+    run_batch()  # warm (compile + device sync)
+    t = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        run_batch()
+    out["db_batch_qps"] = QBATCH * iters / (time.perf_counter() - t)
+
+    # raw kernel measured the same synchronous way on the same device buffer
+    snap = db._engine.store.snapshot()
+    qd = jnp.asarray(q)
+    snap.search(qd, K)
+    t = time.perf_counter()
+    for _ in range(iters):
+        snap.search(qd, K)
+    out["raw_sync_qps"] = QBATCH * iters / (time.perf_counter() - t)
+    out["api_efficiency"] = out["db_batch_qps"] / out["raw_sync_qps"]
+
+    # filtered search (10% selectivity): first call builds + caches the mask
+    run_batch(metadata_filter={"par": 3})
+    t = time.perf_counter()
+    for _ in range(iters):
+        run_batch(metadata_filter={"par": 3})
+    out["db_filtered_batch_qps"] = QBATCH * iters / (time.perf_counter() - t)
+
+    # sequential single-query path (per-call dispatch RTT dominated)
+    db.find_most_similar(q[0], k=K)
+    t = time.perf_counter()
+    for i in range(20):
+        db.find_most_similar(q[i % QBATCH], k=K)
+    dt = (time.perf_counter() - t) / 20
+    out["db_single_qps"] = 1.0 / dt
+    out["db_single_p50_ms"] = dt * 1000
+    del db
+    return out
 
 
 def main():
@@ -161,22 +259,32 @@ def main():
     correctness_check()
     buf, inv = _setup_device_corpus()
     tpu = bench_tpu(buf, inv)
-    cpu_qps = bench_cpu_baseline()
-    ratio = tpu["exact_qps"] / cpu_qps
+    del buf, inv  # release ~1.6 GB HBM before the public-API corpus uploads
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((N, D)).astype(np.float32)
+    api = bench_public_api(mat)
+    cpu = bench_cpu_baseline(mat)
+    ratio = tpu["exact_qps"] / cpu["batched_qps"]
 
     details = {
         "config": {"n": N, "d": D, "k": K, "query_batch": QBATCH},
         "tpu": tpu,
-        "cpu_exact_qps_numpy_blas": cpu_qps,
-        "speedup_exact_vs_cpu": ratio,
+        "public_api": api,
+        "cpu_exact": cpu,
+        "speedup_exact_vs_cpu_batched": ratio,
+        "speedup_db_api_vs_cpu_batched": api["db_batch_qps"] / cpu["batched_qps"],
         "notes": [
             "headline = best exact float32 scan (recall@10 == 1.0, "
             "oracle-checked): Pallas two-phase subtile-max kernel vs XLA "
             "fused scan+TopK",
             "approx = TPU ApproxTopK recall_target 0.99 (measured ~0.997)",
             "bf16_approx = bfloat16 corpus + ApproxTopK (recall-tolerant mode)",
-            "faiss-cpu not installable in this image; numpy BLAS exact scan "
-            "is the stand-in CPU baseline (single-core host)",
+            "public_api = VectorDatabase.find_most_similar(_batch) end to "
+            "end; api_efficiency compares it to the raw kernel measured "
+            "identically (synchronous per call)",
+            "faiss-cpu not installable in this image; CPU baseline is "
+            "batched chunked sgemm through BLAS on all host cores (the "
+            "Faiss-CPU IndexFlatIP equivalent) — see cpu_exact.cores",
         ],
         "wall_s": time.time() - t0,
     }

@@ -23,8 +23,11 @@ from minivectordb_tpu.core.store import VectorStore
 from minivectordb_tpu.filters.engine import (
     FilterContext,
     MetadataIndex,
-    get_filtered_rows,
+    filters_cache_key,
+    select_rows,
 )
+
+_MASK_CACHE_MAX = 64
 from minivectordb_tpu.utils.telemetry import Telemetry
 
 
@@ -53,6 +56,9 @@ class SearchEngine:
         self.meta_index = MetadataIndex()
         self.lock = threading.RLock()
         self.telemetry = Telemetry()
+        # (filter-triple key) -> (mask, n_candidates); flushed on mutation.
+        self._mask_cache: dict = {}
+        self._mask_cache_version = -1
 
     # -- introspection -----------------------------------------------------
 
@@ -174,11 +180,12 @@ class SearchEngine:
             self.meta_index.rebuild(self.uids, self.metadata)
         self._version += 1
 
-    def _device_search(self, q, search_k, mask):
-        """Dispatch to the mesh-distributed scan when a mesh is configured
-        (row-partitioned shard-local top-k + ICI all-gather merge), else the
-        single-device store. The distributed index bulk-reloads from the host
-        mirror when the corpus version changes."""
+    def _index_snapshot(self):
+        """Frozen searchable view (caller holds self.lock): the mesh
+        distributed index (row-partitioned shard-local top-k + ICI all-gather
+        merge) when a mesh is configured, else the single-device store. The
+        distributed index bulk-reloads from the host mirror when the corpus
+        version changes."""
         if self.mesh is not None:
             if self._dist is None:
                 from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
@@ -187,10 +194,83 @@ class SearchEngine:
             if self._dist_version != self._version:
                 self._dist.load(np.ascontiguousarray(self.store.view()))
                 self._dist_version = self._version
-            return self._dist.search(q, search_k, mask=mask)
-        return self.store.search(q, search_k, mask, mode=self.search_mode)
+            return self._dist.snapshot()
+        return self.store.snapshot()
+
+    def _snapshot_search(self, snap, q, search_k, mask):
+        if self.mesh is not None:
+            return snap.search(q, search_k, mask=mask)
+        return snap.search(q, search_k, mask, mode=self.search_mode)
 
     # -- search ------------------------------------------------------------
+
+    def _candidate_mask(self, metadata_filter, exclude_filter, or_filters):
+        """(mask, n_candidates) for the filter triple. Caller holds the lock.
+
+        mask is None for "all rows" — no-filter queries never touch a
+        per-row Python structure (the reference pays an O(N) set build per
+        query even unfiltered, vector_database.py:356). Filtered masks are
+        cached per corpus version, so repeated filters cost one dict hit.
+        """
+        if not metadata_filter and not exclude_filter and not or_filters:
+            return None, self.count
+
+        if self._mask_cache_version != self._version:
+            self._mask_cache.clear()
+            self._mask_cache_version = self._version
+        key = filters_cache_key(metadata_filter, exclude_filter, or_filters)
+        if key is not None and key in self._mask_cache:
+            return self._mask_cache[key]
+
+        sel = select_rows(
+            self._filter_context(), metadata_filter, exclude_filter, or_filters
+        )
+        n = sel.n_candidates(self.count)
+        mask = sel.to_mask(self.count)
+        if key is not None:
+            if len(self._mask_cache) >= _MASK_CACHE_MAX:
+                self._mask_cache.pop(next(iter(self._mask_cache)))
+            self._mask_cache[key] = (mask, n)
+        return mask, n
+
+    def _scan(self, q, metadata_filter, exclude_filter, or_filters, k):
+        """Shared search core: filter + snapshot under the lock, device scan
+        outside it. Returns (vals, idx, uids, metadata) or None when the
+        candidate set is empty.
+
+        Snapshot-consistency: uids/metadata are only ever appended to or
+        wholesale replaced under the lock (delete_many builds fresh lists),
+        so the references captured here stay row-aligned with the device
+        snapshot even while writers proceed."""
+        with self.lock:
+            with self.telemetry.timed("filter"):
+                mask, n_candidates = self._candidate_mask(
+                    metadata_filter, exclude_filter, or_filters
+                )
+            if n_candidates == 0:
+                return None
+            search_k = min(k, n_candidates)
+            snap = self._index_snapshot()
+            uids, metadata = self.uids, self.metadata
+        with self.telemetry.timed("device_scan"):
+            vals, idx = self._snapshot_search(snap, q, search_k, mask)
+        return vals, idx, uids, metadata
+
+    @staticmethod
+    def _format_hits(vals_row, idx_row, uids, metadata, return_distances):
+        found = []
+        for score, row in zip(vals_row, idx_row):
+            if score < -1.0e38:  # masked/padded slot — fewer than k candidates
+                continue
+            s = float(score)
+            found.append(
+                (uids[row],
+                 (1.0 - s) if return_distances else np.float32(s),
+                 metadata[row])
+            )
+        if return_distances:
+            found.sort(key=lambda t: t[1])
+        return tuple(zip(*found)) if found else ([], [], [])
 
     def search(
         self,
@@ -209,37 +289,12 @@ class SearchEngine:
         """
         if self.store is None or self.count == 0:
             return [], [], []
-
         q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
-
-        with self.lock:
-            with self.telemetry.timed("filter"):
-                filtered = get_filtered_rows(
-                    self._filter_context(), metadata_filter, exclude_filter, or_filters
-                )
-            if not filtered:
-                return [], [], []
-            search_k = min(k, len(filtered))
-            mask = None
-            if len(filtered) != self.count:
-                mask = np.zeros(self.count, dtype=bool)
-                mask[np.fromiter(filtered, dtype=np.int64, count=len(filtered))] = True
-            with self.telemetry.timed("device_scan"):
-                vals, idx = self._device_search(q, search_k, mask)
-            # Snapshot row-aligned structures before releasing the lock.
-            uids, metadata = self.uids, self.metadata
-
-        found = []
-        for score, row in zip(vals[0], idx[0]):
-            if score < -1.0e38:  # masked/padded slot — fewer than k candidates
-                continue
-            s = float(score)
-            found.append(
-                (uids[row], (1.0 - s) if return_distances else np.float32(s), metadata[row])
-            )
-        if return_distances:
-            found.sort(key=lambda t: t[1])
-        return tuple(zip(*found)) if found else ([], [], [])
+        res = self._scan(q, metadata_filter, exclude_filter, or_filters, k)
+        if res is None:
+            return [], [], []
+        vals, idx, uids, metadata = res
+        return self._format_hits(vals[0], idx[0], uids, metadata, return_distances)
 
     def search_batch(
         self,
@@ -258,37 +313,14 @@ class SearchEngine:
             q = q[None, :]
         if self.store is None or self.count == 0:
             return [([], [], [])] * q.shape[0]
-        with self.lock:
-            with self.telemetry.timed("filter"):
-                filtered = get_filtered_rows(
-                    self._filter_context(), metadata_filter, exclude_filter, or_filters
-                )
-            if not filtered:
-                return [([], [], [])] * q.shape[0]
-            search_k = min(k, len(filtered))
-            mask = None
-            if len(filtered) != self.count:
-                mask = np.zeros(self.count, dtype=bool)
-                mask[np.fromiter(filtered, dtype=np.int64, count=len(filtered))] = True
-            with self.telemetry.timed("device_scan"):
-                vals, idx = self._device_search(q, search_k, mask)
-            uids, metadata = self.uids, self.metadata
-        out = []
-        for b in range(q.shape[0]):
-            found = []
-            for score, row in zip(vals[b], idx[b]):
-                if score < -1.0e38:
-                    continue
-                s = float(score)
-                found.append(
-                    (uids[row],
-                     (1.0 - s) if return_distances else np.float32(s),
-                     metadata[row])
-                )
-            if return_distances:
-                found.sort(key=lambda t: t[1])
-            out.append(tuple(zip(*found)) if found else ([], [], []))
-        return out
+        res = self._scan(q, metadata_filter, exclude_filter, or_filters, k)
+        if res is None:
+            return [([], [], [])] * q.shape[0]
+        vals, idx, uids, metadata = res
+        return [
+            self._format_hits(vals[b], idx[b], uids, metadata, return_distances)
+            for b in range(q.shape[0])
+        ]
 
 
 def autocut_scores(score_list):

@@ -88,34 +88,37 @@ class TextSearchPipeline:
                              constant_values=enc.cfg.pad_id)
             mask_arr = np.pad(mask_arr, ((0, 0), (0, pad)))
 
-        from minivectordb_tpu.filters.engine import get_filtered_rows
-
+        # Under the lock: filter + device-cache sync + row-aligned snapshots.
+        # The fused tokenize->embed->scan program itself runs OUTSIDE the lock
+        # (the device inputs are immutable), so concurrent writers are never
+        # blocked behind an encoder forward pass.
         with eng.lock:
-            filtered = get_filtered_rows(
-                eng._filter_context(), metadata_filter, exclude_filter, or_filters
+            mask, n_candidates = eng._candidate_mask(
+                metadata_filter, exclude_filter, or_filters
             )
-            if not filtered:
+            if n_candidates == 0:
                 out = [([], [], [])] * len(texts)
                 return out[0] if single else out
-            search_k = min(k, len(filtered))
+            search_k = min(k, n_candidates)
             buf, inv_norms, count = eng.store.sync()
-            row_mask = None
-            if len(filtered) != eng.count:
-                padded = np.zeros(buf.shape[0], dtype=bool)
-                padded[list(filtered)] = True
-                row_mask = jnp.asarray(padded)
-            from minivectordb_tpu.ops.scan import k_bucket
-
-            kb = k_bucket(search_k, buf.shape[0])
-            _, vals, idx = embed_search_program(
-                enc.params, enc.cfg,
-                jnp.asarray(ids_arr), jnp.asarray(mask_arr),
-                buf, inv_norms, count, kb,
-                enc.pooling, row_mask, eng.search_mode,
-            )
-            vals = np.asarray(vals)[:, :search_k]
-            idx = np.asarray(idx)[:, :search_k]
             uids, metadata = eng.uids, eng.metadata
+
+        row_mask = None
+        if mask is not None:
+            padded = np.zeros(buf.shape[0], dtype=bool)
+            padded[: mask.shape[0]] = mask
+            row_mask = jnp.asarray(padded)
+        from minivectordb_tpu.ops.scan import k_bucket
+
+        kb = k_bucket(search_k, buf.shape[0])
+        _, vals, idx = embed_search_program(
+            enc.params, enc.cfg,
+            jnp.asarray(ids_arr), jnp.asarray(mask_arr),
+            buf, inv_norms, count, kb,
+            enc.pooling, row_mask, eng.search_mode,
+        )
+        vals = np.asarray(vals)[:, :search_k]
+        idx = np.asarray(idx)[:, :search_k]
 
         results = []
         for b in range(len(texts)):

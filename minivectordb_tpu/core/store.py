@@ -190,6 +190,25 @@ class VectorStore:
                 self._dirty_from = self.count
         return self._buf, self._inv_norms, self.count
 
+    def snapshot(self) -> "StoreSnapshot":
+        """Immutable search snapshot (caller holds the database lock).
+
+        Syncs the device cache, then captures the jax array references plus
+        the live count. jax arrays are immutable and ``sync`` only ever
+        *replaces* them, so a search over the snapshot is race-free even
+        while other threads mutate the store — the key to running the device
+        scan outside the lock (the reference likewise searches outside its
+        lock, vector_database.py:495-523)."""
+        buf, inv_norms, count = self.sync()
+        return StoreSnapshot(
+            buf=buf,
+            inv_norms=inv_norms,
+            scan_buf=self._scan_buf if self.device_dtype == "mixed" else None,
+            count=count,
+            dev_capacity=self._dev_capacity,
+            device_dtype=self.device_dtype,
+        )
+
     def search(
         self,
         queries: np.ndarray,
@@ -197,18 +216,42 @@ class VectorStore:
         mask: np.ndarray | None = None,
         mode: str = "exact",
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k cosine search. queries: (B, d); returns (scores, indices) (B, k).
+        """Top-k cosine search (snapshot + scan in one call; hot paths should
+        snapshot under the lock and search outside it)."""
+        return self.snapshot().search(queries, k, mask, mode)
 
-        ``mask`` restricts candidates (True = eligible); the returned arrays
-        are already trimmed to k. Invalid/padded positions carry scores below
-        -1e38 and index arbitrary rows; callers drop them via the score check.
-        """
-        buf, inv_norms, count = self.sync()
+
+class StoreSnapshot:
+    """Frozen device-side view of a VectorStore at one version.
+
+    queries: (B, d); returns (scores, indices) (B, k). ``mask`` restricts
+    candidates (True = eligible); invalid/padded positions carry scores below
+    -1e38 and index arbitrary rows; callers drop them via the score check.
+    """
+
+    __slots__ = ("buf", "inv_norms", "scan_buf", "count", "dev_capacity",
+                 "device_dtype")
+
+    def __init__(self, buf, inv_norms, scan_buf, count, dev_capacity, device_dtype):
+        self.buf = buf
+        self.inv_norms = inv_norms
+        self.scan_buf = scan_buf
+        self.count = count
+        self.dev_capacity = dev_capacity
+        self.device_dtype = device_dtype
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask: np.ndarray | None = None,
+        mode: str = "exact",
+    ) -> tuple[np.ndarray, np.ndarray]:
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
-        kb = scan_ops.k_bucket(k, self._dev_capacity)
+        kb = scan_ops.k_bucket(k, self.dev_capacity)
         mask_dev = None
         if mask is not None:
-            padded = np.zeros(self._dev_capacity, dtype=bool)
+            padded = np.zeros(self.dev_capacity, dtype=bool)
             padded[: mask.shape[0]] = mask
             mask_dev = jnp.asarray(padded)
         if self._use_pallas(mode, q.shape[0]):
@@ -216,22 +259,22 @@ class VectorStore:
                 from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk_int8
 
                 vals, idx = pallas_scan_topk_int8(
-                    buf, inv_norms, q, count, kb, mask_dev
+                    self.buf, self.inv_norms, q, self.count, kb, mask_dev
                 )
             else:
                 from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
 
                 vals, idx = pallas_scan_topk(
-                    buf, inv_norms, q, count, kb, mask_dev,
-                    scan_buf=self._scan_buf if self.device_dtype == "mixed" else None,
+                    self.buf, self.inv_norms, q, self.count, kb, mask_dev,
+                    scan_buf=self.scan_buf,
                 )
         elif self.device_dtype == "int8":
             vals, idx = scan_ops.scan_topk_int8(
-                buf, inv_norms, q, count, kb, mask_dev, mode
+                self.buf, self.inv_norms, q, self.count, kb, mask_dev, mode
             )
         else:
             vals, idx = scan_ops.scan_topk(
-                buf, inv_norms, q, count, kb, mask_dev, mode
+                self.buf, self.inv_norms, q, self.count, kb, mask_dev, mode
             )
         vals = np.asarray(vals)[:, :k]
         idx = np.asarray(idx)[:, :k]
@@ -252,6 +295,6 @@ class VectorStore:
         return (
             mode == "exact"
             and batch >= 16
-            and self._dev_capacity >= 4096
+            and self.dev_capacity >= 4096
             and jax.default_backend() != "cpu"
         )

@@ -3,10 +3,14 @@
 The reference persists every single insert by reading, unpickling,
 re-pickling and rewriting the WHOLE target shard file
 (reference sharded_vector_database.py:134-154) — O(shard_size * d) disk work
-per insert. The WAL keeps the same crash-durability contract (an insert is
-on disk before store_embedding returns) at O(record) cost: mutations are
-appended as CRC32-framed pickled records and folded into the shard files on
-``compact()`` (which load replays automatically).
+per insert. The WAL keeps the same *process-crash* durability contract (an
+insert is written out before store_embedding returns; the OS page cache
+holds it until writeback — the same guarantee as the reference's
+non-fsynced pickle writes) at O(record) cost: mutations are appended as
+CRC32-framed pickled records and folded into the shard files on
+``compact()`` (which load replays automatically). For full power-loss
+durability pass ``fsync=True`` per append (``durability="wal_fsync"`` on
+the database), which fsyncs each record before returning.
 
 Record framing: [magic 'MVDW' u32][payload_len u64 LE][crc32 u32 LE][payload]
 (payload = pickled op tuple). Appends go through the C++ fast path

@@ -207,20 +207,67 @@ def _apply_exclude(ctx: FilterContext, excludes: list[dict], filtered: set) -> s
     return filtered
 
 
-def get_filtered_rows(
+class RowSelection:
+    """Lazy candidate-row set.
+
+    ``rows is None`` means "all live rows" without materializing a set — the
+    reference builds ``set(inverse_id_map.values())`` per query even with no
+    filter (vector_database.py:356), an O(N) Python cost the device scan
+    should never pay. ``excluded`` holds exclude-filter hits and is non-empty
+    only when ``rows is None`` (a concrete include set subtracts eagerly).
+    """
+
+    __slots__ = ("rows", "excluded")
+
+    def __init__(self, rows: set[int] | None, excluded: set[int] | None = None):
+        self.rows = rows
+        self.excluded = excluded or set()
+
+    def n_candidates(self, total: int) -> int:
+        if self.rows is None:
+            return total - len(self.excluded)
+        return len(self.rows)
+
+    def to_mask(self, total: int) -> "np.ndarray | None":
+        """Boolean row mask (True = candidate), or None for "all rows"."""
+        import numpy as np
+
+        if self.rows is None:
+            if not self.excluded:
+                return None
+            mask = np.ones(total, dtype=bool)
+            mask[np.fromiter(self.excluded, dtype=np.int64, count=len(self.excluded))] = False
+            return mask
+        mask = np.zeros(total, dtype=bool)
+        if self.rows:
+            mask[np.fromiter(self.rows, dtype=np.int64, count=len(self.rows))] = True
+        return mask
+
+
+def select_rows(
     ctx: FilterContext,
     metadata_filter=None,
     exclude_filter=None,
     or_filters=None,
-) -> set[int]:
-    """Compute the candidate row set. Mirrors reference
-    ``_get_filtered_indices`` (vector_database.py:354-386)."""
-    filtered = set(ctx.inverse_id_map.values()) if not metadata_filter else None
+) -> RowSelection:
+    """Compute the candidate rows without materializing "all rows".
 
+    Mirrors reference ``_get_filtered_indices`` (vector_database.py:354-386)
+    semantics: AND -> OR(∩) -> EXCLUDE(−); no clauses at all selects every
+    live row (returned as the lazy all-rows sentinel)."""
+    filtered: set[int] | None = None
+
+    # An empty dict is falsy = "no filter" (reference vector_database.py:354-356);
+    # wrap to a list only AFTER the truthiness check.
     if isinstance(metadata_filter, dict):
-        metadata_filter = [metadata_filter]
+        metadata_filter = [metadata_filter] if metadata_filter else None
     if metadata_filter:
         filtered = _apply_and(ctx, metadata_filter, filtered)
+        # A truthy metadata_filter with no conditions (e.g. [{}]) selects
+        # nothing, matching the pre-lazy behavior (None here means "no
+        # condition ever ran", which only the no-filter path may treat as all).
+        if not filtered:
+            return RowSelection(set())
 
     if or_filters:
         if isinstance(or_filters, dict):
@@ -229,10 +276,67 @@ def get_filtered_rows(
         if or_filters:
             ored = _apply_or(ctx, or_filters)
             filtered = ored if filtered is None else (filtered & ored)
+            if not filtered:
+                return RowSelection(set())
 
     if exclude_filter:
         if isinstance(exclude_filter, dict):
             exclude_filter = [exclude_filter]
+        if filtered is None:
+            excluded: set[int] = set()
+            for f in exclude_filter:
+                for key, value in f.items():
+                    excluded |= _equality_rows(ctx, key, value)
+            return RowSelection(None, excluded)
         filtered = _apply_exclude(ctx, exclude_filter, filtered)
 
-    return filtered if filtered is not None else set()
+    return RowSelection(filtered)
+
+
+_CACHEABLE_SCALARS = (str, int, float, bool, bytes, type(None))
+
+
+def _cache_key_part(value):
+    """Canonical hashable key for a filter value, or raise TypeError when the
+    value's type makes repr-identity unsafe (arbitrary user objects)."""
+    import datetime
+
+    if isinstance(value, _CACHEABLE_SCALARS) or isinstance(
+        value, (datetime.datetime, datetime.date)
+    ):
+        return (type(value).__name__, value)
+    if isinstance(value, dict):
+        return ("d",) + tuple(
+            (k, _cache_key_part(v)) for k, v in sorted(value.items(), key=repr)
+        )
+    if isinstance(value, (list, tuple)):
+        return ("l",) + tuple(_cache_key_part(v) for v in value)
+    raise TypeError(f"uncacheable filter value type: {type(value)}")
+
+
+def filters_cache_key(metadata_filter, exclude_filter, or_filters):
+    """Hashable key for a (metadata, exclude, or) filter triple, or None when
+    any value is of a type whose equality can't be keyed safely."""
+    try:
+        return (
+            _cache_key_part(metadata_filter),
+            _cache_key_part(exclude_filter),
+            _cache_key_part(or_filters),
+        )
+    except TypeError:
+        return None
+
+
+def get_filtered_rows(
+    ctx: FilterContext,
+    metadata_filter=None,
+    exclude_filter=None,
+    or_filters=None,
+) -> set[int]:
+    """Materialized candidate row set (compatibility shim over
+    ``select_rows``; prefer the lazy form on hot paths)."""
+    sel = select_rows(ctx, metadata_filter, exclude_filter, or_filters)
+    if sel.rows is None:
+        all_rows = set(ctx.inverse_id_map.values())
+        return all_rows - sel.excluded if sel.excluded else all_rows
+    return sel.rows

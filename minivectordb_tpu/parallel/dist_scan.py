@@ -28,8 +28,13 @@ from minivectordb_tpu.parallel.mesh import SHARD_AXIS
 _MASKED_SCORE = np.float32(-3.0e38)
 
 
-def _local_scan_merge(buf, inv_norms, q, count, mask, k):
-    """Runs per device under shard_map. buf: (C/n, d) local rows."""
+def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None):
+    """Runs per device under shard_map. buf: (C/n, d) local rows.
+
+    ``k`` is the per-shard candidate count (capped at local rows);
+    ``k_final`` is the post-merge width — it may exceed ``k`` (when the
+    requested k is larger than a shard) up to n_devices * k, so a small
+    corpus spread over many devices still returns min(k, count) results."""
     local_rows = buf.shape[0]
     shard = jax.lax.axis_index(SHARD_AXIS)
     row_base = shard * local_rows
@@ -59,14 +64,14 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k):
     b = all_vals.shape[1]
     flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, n * k)
     flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, n * k)
-    mvals, mpos = jax.lax.top_k(flat_vals, k)
+    mvals, mpos = jax.lax.top_k(flat_vals, min(k_final or k, n * k))
     midx = jnp.take_along_axis(flat_idx, mpos, axis=-1)
     return mvals, midx
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "has_mask"))
-def _dist_scan(mesh: Mesh, buf, inv_norms, q, count, mask, k, has_mask):
-    fn = functools.partial(_local_scan_merge, k=k)
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "k_final", "has_mask"))
+def _dist_scan(mesh: Mesh, buf, inv_norms, q, count, mask, k, k_final, has_mask):
+    fn = functools.partial(_local_scan_merge, k=k, k_final=k_final)
 
     def wrapped(buf, inv_norms, q, count, mask):
         return fn(buf, inv_norms, q, count, mask if has_mask else None)
@@ -127,15 +132,42 @@ class DistributedScanIndex:
         self._inv_norms = jax.device_put(inv, sh1)
         self._capacity = cap
 
+    def snapshot(self) -> "DistSnapshot":
+        """Frozen view for lock-free search (mirrors StoreSnapshot): captures
+        the immutable sharded arrays + count so a concurrent ``load`` cannot
+        tear a search in progress."""
+        return DistSnapshot(
+            self.mesh, self.n, self._buf, self._inv_norms, self.count,
+            self._capacity,
+        )
+
+    def search(self, queries: np.ndarray, k: int, mask: np.ndarray | None = None):
+        return self.snapshot().search(queries, k, mask)
+
+
+class DistSnapshot:
+    __slots__ = ("mesh", "n", "buf", "inv_norms", "count", "capacity")
+
+    def __init__(self, mesh, n, buf, inv_norms, count, capacity):
+        self.mesh = mesh
+        self.n = n
+        self.buf = buf
+        self.inv_norms = inv_norms
+        self.count = count
+        self.capacity = capacity
+
     def search(self, queries: np.ndarray, k: int, mask: np.ndarray | None = None):
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kb = 1
         while kb < k:
             kb <<= 1
-        kb = min(kb, self._capacity // self.n)
+        # Per-shard candidate width is bounded by local rows; the merge width
+        # k_final recovers min(k, count) when k exceeds a shard's row count.
+        kb_local = min(kb, self.capacity // self.n)
+        k_final = min(kb, self.n * kb_local)
         has_mask = mask is not None
         if has_mask:
-            padded = np.zeros(self._capacity, dtype=bool)
+            padded = np.zeros(self.capacity, dtype=bool)
             padded[: mask.shape[0]] = mask
             mask_dev = jax.device_put(
                 padded, NamedSharding(self.mesh, P(SHARD_AXIS))
@@ -144,12 +176,13 @@ class DistributedScanIndex:
             mask_dev = jnp.zeros((self.n,), dtype=bool)  # placeholder
         vals, idx = _dist_scan(
             self.mesh,
-            self._buf,
-            self._inv_norms,
+            self.buf,
+            self.inv_norms,
             q,
             jnp.int32(self.count),
             mask_dev,
-            kb,
+            kb_local,
+            k_final,
             has_mask,
         )
         return np.asarray(vals)[:, :k], np.asarray(idx)[:, :k]

@@ -46,15 +46,20 @@ class ShardedVectorDatabase:
         - 'shard' (default): reference-compatible — every mutation rewrites
           its whole shard pickle synchronously
           (reference sharded_vector_database.py:134-154).
-        - 'wal': same crash-durability contract at O(record) cost — mutations
-          append to a CRC-framed write-ahead log (C++ fast path when built)
-          and fold into shard files on compact()/reload (core/wal.py).
+        - 'wal': same process-crash durability contract at O(record) cost —
+          mutations append to a CRC-framed write-ahead log (C++ fast path
+          when built) and fold into shard files on compact()/reload
+          (core/wal.py).
+        - 'wal_fsync': 'wal' plus an fsync per record — survives power loss,
+          not just process crashes.
         """
-        if durability not in ("shard", "wal"):
+        if durability not in ("shard", "wal", "wal_fsync"):
             raise ValueError(f"Unknown durability mode: {durability}")
         self.storage_dir = storage_dir or self._default_storage_dir
         self.shard_size = shard_size
         self.durability = durability
+        self._use_wal = durability.startswith("wal")
+        self._wal_fsync = durability == "wal_fsync"
         self._engine = SearchEngine(
             device_dtype=self._device_dtype, search_mode=search_mode, mesh=mesh
         )
@@ -200,7 +205,7 @@ class ShardedVectorDatabase:
         with self._engine.lock:
             if unique_id not in self._engine.inverse_id_map:
                 raise ValueError("Unique ID does not exist.")
-            if self.durability == "wal":
+            if self._use_wal:
                 # shard files may lag the WAL; RAM is authoritative
                 return self._engine.get_row(unique_id)
             return self._shards.read_vector(unique_id)
@@ -210,11 +215,12 @@ class ShardedVectorDatabase:
         with self._engine.lock:
             self._engine.add_one(unique_id, embedding, metadata_dict)
             shard_id = self._shards.place(unique_id)
-            if self.durability == "wal":
+            if self._use_wal:
                 wal_mod.append_record(
                     self._wal_path,
                     ("add", unique_id,
                      np.asarray(embedding, dtype=np.float32), metadata_dict),
+                    fsync=self._wal_fsync,
                 )
             else:
                 self._shards.append_to_shard(
@@ -242,13 +248,14 @@ class ShardedVectorDatabase:
             for i, uid in enumerate(unique_ids):
                 shard_id = self._shards.place(uid)
                 groups.setdefault(shard_id, []).append(i)
-            if self.durability == "wal":
+            if self._use_wal:
                 for i, uid in enumerate(unique_ids):
                     wal_mod.append_record(
                         self._wal_path,
                         ("add", uid,
                          np.asarray(embeddings[i], dtype=np.float32),
                          metadata_dicts[i]),
+                        fsync=self._wal_fsync,
                     )
                 return
             for shard_id, idxs in groups.items():
@@ -271,8 +278,9 @@ class ShardedVectorDatabase:
             if not all(uid in self._engine.inverse_id_map for uid in unique_ids):
                 raise ValueError("One or more unique IDs do not exist.")
             unique_ids = [uid for uid in unique_ids if uid is not None]
-            if self.durability == "wal":
-                wal_mod.append_record(self._wal_path, ("del", list(unique_ids)))
+            if self._use_wal:
+                wal_mod.append_record(self._wal_path, ("del", list(unique_ids)),
+                                      fsync=self._wal_fsync)
                 self._unplace(unique_ids)
                 self._engine.delete_many(unique_ids)
                 return

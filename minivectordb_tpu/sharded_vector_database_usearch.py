@@ -35,9 +35,24 @@ class ShardedVectorDatabaseUsearch(ShardedVectorDatabase):
     _device_dtype = "int8"
     _default_storage_dir = "db_shards_usearch"
 
-    def __init__(self, storage_dir: str | None = None, shard_size: int = 5000):
+    def __init__(
+        self,
+        storage_dir: str | None = None,
+        shard_size: int = 5000,
+        durability: str = "shard",
+        search_mode: str = "exact",
+        mesh=None,
+    ):
+        """Full constructor parity with ShardedVectorDatabase: WAL ingest
+        modes and multi-chip mesh search compose with the int8 engine."""
         print(_BANNER)
-        super().__init__(storage_dir=storage_dir, shard_size=shard_size)
+        super().__init__(
+            storage_dir=storage_dir,
+            shard_size=shard_size,
+            durability=durability,
+            search_mode=search_mode,
+            mesh=mesh,
+        )
 
     def find_most_similar(
         self,
