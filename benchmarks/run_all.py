@@ -193,11 +193,12 @@ def config4_sharded_multithreaded(n=100_000, d=384, quick=False):
 
 
 def config5_ivf_1m(quick=False):
-    from minivectordb_tpu.ops import scan as scan_ops
-    from minivectordb_tpu.ops.ivf import IVFIndex
-
-    import jax
-    import jax.numpy as jnp
+    """DB-integrated IVF at 1M x 1024 (VectorDatabase(index='ivf'), not the
+    bare kernel). Queries are FRESH draws from the corpus's generative model
+    — never perturbed corpus rows, which saturate recall at any nprobe and
+    hide probe bugs (round-1 VERDICT weak #3). Asserts recall rises with
+    nprobe."""
+    from minivectordb_tpu.vector_database import VectorDatabase
 
     n, d = (100_000, 256) if quick else (1_000_000, 1024)
     nlist = 1024 if quick else 4096
@@ -209,12 +210,15 @@ def config5_ivf_1m(quick=False):
     mat = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
 
     nq = 64
-    queries = mat[rng.choice(n, nq, replace=False)] + 0.05 * rng.standard_normal(
-        (nq, d)
-    ).astype(np.float32)
+    # hard queries: pure Gaussians, NOT mixture draws — a mixture query lands
+    # near one center so a handful of probes always wins (measured recall
+    # saturates at 0.98 regardless of nprobe, hiding probe bugs); a pure
+    # Gaussian lands between clusters and its true neighbors scatter across
+    # many Voronoi cells, so recall genuinely tracks nprobe
+    queries = rng.standard_normal((nq, d)).astype(np.float32)
 
-    # exact oracle on the HOST (numpy) — costs ~10s but uses zero HBM, so
-    # the oracle never competes with the IVF lists for device memory
+    # exact oracle on the HOST (numpy) — uses zero HBM, so the oracle never
+    # competes with the IVF lists for device memory
     norms = np.linalg.norm(mat, axis=1)
     eidx = np.empty((nq, 10), dtype=np.int64)
     for b in range(nq):
@@ -223,27 +227,47 @@ def config5_ivf_1m(quick=False):
         part = np.argpartition(-scores, 10)[:10]
         eidx[b] = part[np.argsort(-scores[part])]
 
-    index = IVFIndex(nlist=nlist, nprobe=32, iters=8, device_dtype="bfloat16")
+    path = "/tmp/bench_cfg5.pkl"
+    if os.path.exists(path):
+        os.remove(path)
+    db = VectorDatabase(
+        storage_file=path,
+        index="ivf",
+        nlist=nlist,
+        nprobe=32,
+        ivf_opts={"iters": 8, "lists_dtype": "bfloat16",
+                  "build_threshold": 1},
+    )
     t0 = time.perf_counter()
-    index.build(mat)
+    db.store_embeddings_batch(list(range(n)), mat)
+    ingest_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    db.find_most_similar(queries[0], k=1)  # triggers the lazy build
     build_s = time.perf_counter() - t0
 
     results = {}
     for nprobe in (8, 32, 64):
-        index.search(queries[:1], 10, nprobe=nprobe)  # warm/compile
+        db.nprobe = nprobe
+        db.find_most_similar_batch(queries[:1], k=10)  # warm/compile
         t0 = time.perf_counter()
         iters = 5
         for _ in range(iters):
-            vals, ids = index.search(queries, 10, nprobe=nprobe)
+            res = db.find_most_similar_batch(queries, k=10)
         qps = iters * nq / (time.perf_counter() - t0)
         hits = sum(
-            len(set(ids[b].tolist()) & set(eidx[b].tolist())) for b in range(nq)
+            len(set(res[b][0]) & set(eidx[b].tolist())) for b in range(nq)
         )
         results[f"nprobe_{nprobe}"] = {
             "qps": qps,
             "recall_at_10": hits / (10 * nq),
         }
-    return {"n": n, "d": d, "nlist": nlist, "build_s": build_s, **results}
+    r = [results[f"nprobe_{p}"]["recall_at_10"] for p in (8, 32, 64)]
+    assert r[0] < r[2], f"recall must rise with nprobe, got {r}"
+    if os.path.exists(path):
+        os.remove(path)
+    return {"n": n, "d": d, "nlist": nlist, "ingest_s": ingest_s,
+            "build_s": build_s, "recall_rises": r[0] < r[1] <= r[2],
+            **results}
 
 
 def encoder_throughput(quick=False):

@@ -70,10 +70,18 @@ def params_from_state_dict(sd: dict, cfg: EncoderConfig) -> dict:
 
 
 def load_pretrained(name_or_path: str):
-    """Load an HF checkpoint (cache/local only — no network) and convert.
+    """Load converted weights (the .npz artifact written by
+    ``python -m minivectordb_tpu.models.fetch_weights``) or an HF checkpoint
+    (cache/local only — no network) and convert.
 
     Returns (params, cfg) or raises if unavailable.
     """
+    import os
+
+    if os.path.isdir(name_or_path) and os.path.exists(
+        os.path.join(name_or_path, "params.npz")
+    ):
+        return load_converted(name_or_path)
     from transformers import AutoConfig, AutoModel
 
     hf_cfg = AutoConfig.from_pretrained(name_or_path, local_files_only=True)
@@ -81,3 +89,63 @@ def load_pretrained(name_or_path: str):
     cfg = config_from_hf(hf_cfg)
     params = params_from_state_dict(model.state_dict(), cfg)
     return params, cfg
+
+
+# -- converted-artifact format (params.npz + config.json) --------------------
+#
+# The reference ships its default model as package data
+# (reference setup.py:45-47); pretrained transformer weights are too large
+# to vendor in a wheel, so the packaging story here is a one-command fetch
+# that produces a self-contained directory MINIVECTORDB_TPU_WEIGHTS points at.
+
+
+def _flatten_params(params: dict) -> dict:
+    flat = {}
+    for k, v in params.items():
+        if k == "layers":
+            for i, layer in enumerate(v):
+                for lk, lv in layer.items():
+                    for pk, pv in lv.items():
+                        flat[f"layers.{i}.{lk}.{pk}"] = pv
+        elif isinstance(v, dict):
+            for pk, pv in v.items():
+                flat[f"{k}.{pk}"] = pv
+        else:
+            flat[k] = v
+    return flat
+
+
+def _unflatten_params(flat: dict, n_layers: int) -> dict:
+    params: dict = {"layers": [dict() for _ in range(n_layers)]}
+    for k, v in flat.items():
+        parts = k.split(".")
+        if parts[0] == "layers":
+            i, lk, pk = int(parts[1]), parts[2], parts[3]
+            params["layers"][i].setdefault(lk, {})[pk] = v
+        elif len(parts) == 2:
+            params.setdefault(parts[0], {})[parts[1]] = v
+        else:
+            params[k] = v
+    return params
+
+
+def save_converted(params: dict, cfg: EncoderConfig, out_dir: str) -> None:
+    import dataclasses
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, "params.npz"), **_flatten_params(params))
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_converted(artifact_dir: str):
+    import json
+    import os
+
+    with open(os.path.join(artifact_dir, "config.json")) as f:
+        cfg = EncoderConfig(**json.load(f))
+    with np.load(os.path.join(artifact_dir, "params.npz")) as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten_params(flat, cfg.layers), cfg

@@ -71,26 +71,27 @@ def _kmeans_device(data, key, nlist, iters):
     return centroids, _assign_chunked(data, centroids)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _assign_full_device(data, centroids, n):
+    """Assign every live row on device. Row scaling never changes the argmax
+    across unit-norm centroids, so RAW rows are assigned directly — the
+    normalized corpus is never materialized for assignment."""
+    return _assign_chunked(data[:n], centroids)
+
+
 @jax.jit
-def _assign_slab(data, centroids):
-    sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
-    return jnp.argmax(sims, axis=1)
+def _gather_normalized_sample(data, inv_norms, idx):
+    return data[idx] * inv_norms[idx][:, None]
 
 
-def _assign_full_hostchunked(unit: np.ndarray, centroids) -> np.ndarray:
-    """Assign every row without ever holding the full corpus in HBM: upload
-    fixed-size host slabs, assign, discard (peak device memory = one slab +
-    centroids)."""
-    n, d = unit.shape
-    slab = _ASSIGN_CHUNK
-    out = np.empty(n, dtype=np.int64)
-    for start in range(0, n, slab):
-        write_at = min(start, max(0, n - slab)) if n >= slab else 0
-        piece = jnp.asarray(np.ascontiguousarray(unit[write_at : write_at + slab]))
-        out[write_at : write_at + slab] = np.asarray(
-            _assign_slab(piece, centroids)
-        )
-    return out
+@functools.partial(jax.jit, static_argnames=("n", "slots", "out_dtype"))
+def _scatter_lists(data, inv_norms, dest, n, slots, out_dtype):
+    """One fused device program: normalize + cast + cluster-major scatter.
+    data (cap, d); dest (n,) flat slot per row. Returns (slots, d) lists.
+    XLA fuses the normalize/cast into the scatter operand, so the unit-norm
+    corpus is never materialized as a separate HBM buffer."""
+    rows = (data[:n] * inv_norms[:n][:, None]).astype(out_dtype)
+    return jnp.zeros((slots, data.shape[1]), out_dtype).at[dest].set(rows)
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
@@ -154,28 +155,50 @@ class IVFIndex:
         self.pad_len = 0
         self.count = 0
 
-    def build(self, matrix: np.ndarray) -> None:
-        matrix = np.ascontiguousarray(matrix, dtype=np.float32)
-        n, d = matrix.shape
+    def _lists_dtype(self):
+        return jnp.bfloat16 if self.device_dtype == "bfloat16" else jnp.float32
+
+    def _upload(self, matrix, count):
+        """Returns (data, inv_norms, n) on device. ``matrix`` may be a host
+        array or an already-resident (possibly capacity-padded) jax array —
+        the store's HBM buffer feeds builds with zero host round-trips."""
+        from minivectordb_tpu.ops.scan import chunked_device_put, row_inv_norms
+
+        if isinstance(matrix, jax.Array):
+            data = matrix
+            n = int(matrix.shape[0]) if count is None else int(count)
+        else:
+            host = np.ascontiguousarray(matrix, dtype=np.float32)
+            n = host.shape[0] if count is None else int(count)
+            data = chunked_device_put(host)
+        inv = row_inv_norms(data)
+        return data, inv, n
+
+    def build(self, matrix, count: int | None = None, inv_norms=None) -> None:
+        """Train + pack, everything heavy on device (the round-1 build spent
+        ~17 min at 1M x 1024 on host normalization, host-slab uploads and a
+        4 GB host scatter; here the corpus crosses the host boundary at most
+        once and only int32 bookkeeping ever comes back)."""
+        data, inv, n = self._upload(matrix, count)
+        if inv_norms is not None:
+            inv = inv_norms
+        d = int(data.shape[1])
         self.count = n
-        norms = np.linalg.norm(matrix, axis=1, keepdims=True)
-        unit = matrix / np.maximum(norms, 1e-30)
         nlist = min(self.nlist, max(1, n // 4))
         key = jax.random.PRNGKey(self.seed)
         # train on a bounded sample (classic IVF practice), assign everything
         train_cap = max(nlist * 64, 100_000)
         if n > train_cap:
             rng = np.random.default_rng(self.seed)
-            sample = unit[rng.choice(n, train_cap, replace=False)]
+            idx = np.sort(rng.choice(n, train_cap, replace=False)).astype(np.int32)
+            sample = _gather_normalized_sample(data, inv, jnp.asarray(idx))
         else:
-            sample = unit
-        from minivectordb_tpu.ops.scan import chunked_device_put
-
-        sample_dev = chunked_device_put(sample)
-        centroids, _ = _kmeans_device(sample_dev, key, nlist, self.iters)
-        del sample_dev
-        # host-chunked assignment: the full corpus never resides in HBM
-        assign = _assign_full_hostchunked(unit, centroids)
+            sample = _gather_normalized_sample(
+                data, inv, jnp.arange(n, dtype=jnp.int32)
+            )
+        centroids, _ = _kmeans_device(sample, key, nlist, self.iters)
+        del sample
+        assign = np.array(_assign_full_device(data, centroids, n))  # writable copy
         centroids_np = np.asarray(centroids)
 
         # Skew control: the packed layout costs nlist_eff * P * d memory, so
@@ -210,7 +233,9 @@ class IVFIndex:
             nlist = len(nonempty)
         self.centroids = jnp.asarray(centroids_np)
 
-        # cluster-major re-pack with uniform padding
+        # cluster-major layout bookkeeping (int32-sized host work only):
+        # rank of each row within its cluster = position in the sorted order
+        # minus the cluster's start
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         counts = np.bincount(sorted_assign, minlength=nlist)
@@ -221,33 +246,82 @@ class IVFIndex:
         pad = (pad + 127) // 128 * 128
         self.pad_len = pad
 
-        # vectorized cluster-major scatter: rank of each row within its
-        # cluster = position in the sorted order minus the cluster's start
         starts = np.zeros(nlist, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         rank = np.arange(len(order), dtype=np.int64) - starts[sorted_assign]
         slot = sorted_assign.astype(np.int64) * pad + rank
-        lists = np.zeros((nlist * pad, d), dtype=np.float32)
         list_ids = np.zeros(nlist * pad, dtype=np.int32)
         valid = np.zeros(nlist * pad, dtype=bool)
-        lists[slot] = unit[order]  # store normalized: IP == cosine
         list_ids[slot] = order
         valid[slot] = True
-        lists = lists.reshape(nlist, pad, d)
-        list_ids = list_ids.reshape(nlist, pad)
-        valid = valid.reshape(nlist, pad)
-        if self.device_dtype == "bfloat16":
-            # cast on the HOST (ml_dtypes) so the upload is half-size and no
-            # multi-GB on-device cast program is needed
-            import ml_dtypes
+        self._finish_pack(data, inv, slot, order, n, nlist, pad,
+                          list_ids, valid)
 
-            lists = lists.astype(ml_dtypes.bfloat16)
-        from minivectordb_tpu.ops.scan import chunked_device_put
+    def _finish_pack(self, data, inv, slot, order, n, nlist, pad,
+                     list_ids, valid) -> None:
+        """Device scatter into the padded cluster-major tensor; normalize +
+        dtype cast are fused into the scatter operand (rows store normalized
+        so IP == cosine)."""
+        dest = np.empty(n, dtype=np.int32)
+        dest[order] = slot.astype(np.int32)
+        lists_flat = _scatter_lists(
+            data, inv, jnp.asarray(dest), n, nlist * pad, self._lists_dtype()
+        )
+        d = int(data.shape[1])
+        self._lists = lists_flat.reshape(nlist, pad, d)
+        self._list_ids = jnp.asarray(list_ids.reshape(nlist, pad))
+        self._list_valid = jnp.asarray(valid.reshape(nlist, pad))
 
-        flat = lists.reshape(nlist * pad, d)
-        self._lists = chunked_device_put(flat).reshape(nlist, pad, d)
-        self._list_ids = jnp.asarray(list_ids)
-        self._list_valid = jnp.asarray(valid)
+    # -- persistence ---------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Small host-side state: centroids + layout. The packed list tensor
+        itself is NOT stored (it duplicates the corpus); ``from_state``
+        rebuilds it with one device scatter from the embeddings."""
+        return {
+            "nlist": int(self.centroids.shape[0]),
+            "nprobe": self.nprobe,
+            "iters": self.iters,
+            "seed": self.seed,
+            "pad_len": self.pad_len,
+            "count": self.count,
+            "device_dtype": self.device_dtype,
+            "centroids": np.asarray(self.centroids),
+            "list_ids": np.asarray(self._list_ids),
+            "list_valid": np.asarray(self._list_valid),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, matrix, count: int | None = None,
+                   inv_norms=None) -> "IVFIndex":
+        """Reattach a persisted layout to the corpus without re-training."""
+        idx = cls(
+            nlist=state["nlist"],
+            nprobe=state["nprobe"],
+            iters=state.get("iters", 10),
+            device_dtype=state.get("device_dtype", "float32"),
+            seed=state.get("seed", 0),
+        )
+        idx.pad_len = int(state["pad_len"])
+        idx.count = int(state["count"])
+        idx.centroids = jnp.asarray(state["centroids"])
+        list_ids = np.asarray(state["list_ids"])
+        valid = np.asarray(state["list_valid"])
+        nlist, pad = list_ids.shape
+        data, inv, n = idx._upload(matrix, count)
+        if inv_norms is not None:
+            inv = inv_norms
+        if n < idx.count:
+            raise ValueError(
+                f"IVF state covers {idx.count} rows but corpus has {n}"
+            )
+        flat_valid = valid.reshape(-1)
+        flat_ids = list_ids.reshape(-1)
+        slot = np.nonzero(flat_valid)[0]
+        order = flat_ids[slot]
+        idx._finish_pack(data, inv, slot, order, idx.count, nlist, pad,
+                         flat_ids, flat_valid)
+        return idx
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
         nprobe = self.nprobe if nprobe is None else nprobe

@@ -1,0 +1,163 @@
+"""Shard-per-chip IVF: lists partitioned across the device mesh.
+
+BASELINE.md config 5 names "IVF coarse-quantized search, shard-per-chip on
+v5e-8". The layout: the trained cluster-major list tensor (L, P, d) is
+partitioned on the LIST axis across a 1-D mesh; each chip holds L/n lists
+plus its slice of the centroid table. A query runs per chip as: score local
+centroids -> probe the local top-p lists (p = ceil(nprobe / n_devices)) ->
+local top-k over p*P candidates -> ICI all-gather -> merged global top-k.
+
+Probing the per-shard top-p rather than the global top-nprobe is the classic
+Faiss IndexShards recipe: total probed lists is still ~nprobe, the probe set
+is the union of per-shard winners (a superset heuristic of the global
+top-nprobe whenever lists are spread randomly), and no cross-chip
+coordination is needed before the final merge. With p >= ceil(L_shard) the
+probe is exhaustive and results equal the exact scan.
+
+The k-means training itself runs single-device (ops/ivf.py) — at the corpus
+sizes the reference targets the trained state is MBs; only the packed list
+tensor is large, and it is resharded here without a host round-trip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from minivectordb_tpu.parallel.mesh import SHARD_AXIS
+
+_MASKED_SCORE = np.float32(-3.0e38)
+
+
+def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid, q,
+                       p, k_local, k_final):
+    """Per-device body under shard_map. cent (L/n, d); lists (L/n, P, d)."""
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    def one(query):
+        cscores = jnp.dot(cent, query, preferred_element_type=jnp.float32)
+        cscores = jnp.where(cent_live, cscores, _MASKED_SCORE)
+        _, probe = jax.lax.top_k(cscores, p)  # local list indices
+        qd = query.astype(lists.dtype)
+
+        def scan_list(lid):
+            block = jax.lax.dynamic_index_in_dim(lists, lid, 0, keepdims=False)
+            s = jnp.dot(block, qd, preferred_element_type=jnp.float32)
+            valid = jax.lax.dynamic_index_in_dim(
+                list_valid, lid, 0, keepdims=False
+            )
+            ids = jax.lax.dynamic_index_in_dim(
+                list_ids, lid, 0, keepdims=False
+            )
+            return jnp.where(valid, s, _MASKED_SCORE), ids
+
+        scores, cand_ids = jax.lax.map(scan_list, probe)  # (p, P)
+        vals, pos = jax.lax.top_k(scores.reshape(-1), k_local)
+        return vals, cand_ids.reshape(-1)[pos]
+
+    lvals, lidx = jax.lax.map(one, qn)  # (B, k_local)
+
+    all_vals = jax.lax.all_gather(lvals, SHARD_AXIS, axis=0)  # (n, B, kl)
+    all_idx = jax.lax.all_gather(lidx, SHARD_AXIS, axis=0)
+    n, b, kl = all_vals.shape
+    flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, n * kl)
+    flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, n * kl)
+    mvals, mpos = jax.lax.top_k(flat_vals, min(k_final, n * kl))
+    midx = jnp.take_along_axis(flat_idx, mpos, axis=-1)
+    return mvals, midx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "p", "k_local", "k_final")
+)
+def _dist_ivf_search(mesh: Mesh, cent, cent_live, lists, list_ids,
+                     list_valid, q, p, k_local, k_final):
+    fn = functools.partial(
+        _local_probe_merge, p=p, k_local=k_local, k_final=k_final
+    )
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None),  # centroids
+            P(SHARD_AXIS),  # centroid liveness
+            P(SHARD_AXIS, None, None),  # lists
+            P(SHARD_AXIS, None),  # list_ids
+            P(SHARD_AXIS, None),  # list_valid
+            P(),  # queries replicated
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(cent, cent_live, lists, list_ids, list_valid, q)
+
+
+class DistributedIVFIndex:
+    """Mesh-sharded wrapper over a trained IVFIndex.
+
+    Exposes the same search/state surface as IVFIndex so the engine treats
+    both uniformly. Construction reshards the packed tensors onto the mesh
+    (device-to-device; the single-device copies are dropped)."""
+
+    def __init__(self, mesh: Mesh, ivf):
+        self.mesh = mesh
+        self.n = mesh.devices.size
+        self.nprobe = ivf.nprobe
+        self.count = ivf.count
+        self.pad_len = ivf.pad_len
+        self._state = ivf.state_dict()  # host-side, small (no list tensor)
+
+        nlist = int(ivf.centroids.shape[0])
+        pad_lists = (-nlist) % self.n
+        live = np.ones(nlist + pad_lists, dtype=bool)
+        live[nlist:] = False
+        cent = ivf.centroids
+        lists = ivf._lists
+        list_ids = ivf._list_ids
+        list_valid = ivf._list_valid
+        if pad_lists:
+            cent = jnp.pad(cent, ((0, pad_lists), (0, 0)))
+            lists = jnp.pad(lists, ((0, pad_lists), (0, 0), (0, 0)))
+            list_ids = jnp.pad(list_ids, ((0, pad_lists), (0, 0)))
+            list_valid = jnp.pad(list_valid, ((0, pad_lists), (0, 0)))
+        sh2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+        sh3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
+        sh1 = NamedSharding(mesh, P(SHARD_AXIS))
+        self.nlist = nlist
+        self._local_lists = (nlist + pad_lists) // self.n
+        self._cent = jax.device_put(cent, sh2)
+        self._cent_live = jax.device_put(jnp.asarray(live), sh1)
+        self._lists = jax.device_put(lists, sh3)
+        self._list_ids = jax.device_put(list_ids, sh2)
+        self._list_valid = jax.device_put(list_valid, sh2)
+        # free the single-device copies (state_dict already captured layout)
+        ivf._lists = None
+        ivf._list_ids = None
+        ivf._list_valid = None
+
+    def state_dict(self) -> dict:
+        return self._state
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+        nprobe = self.nprobe if nprobe is None else nprobe
+        nprobe = min(nprobe, self.nlist)
+        p = min(self._local_lists, -(-nprobe // self.n))  # ceil
+        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        kk = min(k, self.count)
+        k_local = min(kk, p * self.pad_len)
+        vals, ids = _dist_ivf_search(
+            self.mesh,
+            self._cent,
+            self._cent_live,
+            self._lists,
+            self._list_ids,
+            self._list_valid,
+            q,
+            p,
+            k_local,
+            kk,
+        )
+        return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]

@@ -34,20 +34,43 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None):
     ``k`` is the per-shard candidate count (capped at local rows);
     ``k_final`` is the post-merge width — it may exceed ``k`` (when the
     requested k is larger than a shard) up to n_devices * k, so a small
-    corpus spread over many devices still returns min(k, count) results."""
+    corpus spread over many devices still returns min(k, count) results.
+
+    An int8 ``buf`` runs the usearch-equivalent quantized cosine per shard
+    (query symmetric-quantized in-body, int32-accumulated MXU dot — the
+    same math as ops/scan.py:scan_topk_int8)."""
     local_rows = buf.shape[0]
     shard = jax.lax.axis_index(SHARD_AXIS)
     row_base = shard * local_rows
 
-    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
-    scores = jax.lax.dot_general(
-        qn.astype(buf.dtype),
-        buf,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if buf.dtype == jnp.float32 else None,
-    )
-    scores = scores * inv_norms[None, :]
+    if buf.dtype == jnp.int8:
+        qf = q.astype(jnp.float32)
+        qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qscale = jnp.maximum(qmax, 1e-30) / 127.0
+        qi = jnp.clip(jnp.round(qf / qscale), -127, 127).astype(jnp.int8)
+        q_inv = 1.0 / jnp.maximum(
+            jnp.linalg.norm(qi.astype(jnp.float32), axis=-1, keepdims=True),
+            1e-30,
+        )
+        scores = jax.lax.dot_general(
+            qi,
+            buf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        scores = scores * q_inv * inv_norms[None, :]
+    else:
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+        scores = jax.lax.dot_general(
+            qn.astype(buf.dtype),
+            buf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
+            if buf.dtype == jnp.float32
+            else None,
+        )
+        scores = scores * inv_norms[None, :]
     gids = row_base + jax.lax.broadcasted_iota(jnp.int32, (1, local_rows), 1)
     valid = gids < count
     if mask is not None:
@@ -101,14 +124,31 @@ class DistributedScanIndex:
     tracking stays in the single-chip store.)
     """
 
-    def __init__(self, mesh: Mesh, dim: int):
+    def __init__(self, mesh: Mesh, dim: int, device_dtype: str = "float32"):
+        if device_dtype == "mixed":
+            device_dtype = "float32"  # the bf16 shadow trick is Pallas-only
         self.mesh = mesh
         self.dim = dim
         self.n = mesh.devices.size
+        self.device_dtype = device_dtype
         self.count = 0
         self._buf = None
         self._inv_norms = None
         self._capacity = 0
+        # observability: bytes shipped host->mesh (the incremental-sync test
+        # asserts a mutation does not re-upload the corpus)
+        self.bytes_uploaded = 0
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    def _jdtype(self):
+        return {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }[self.device_dtype]
 
     def load(self, matrix: np.ndarray) -> None:
         matrix = np.ascontiguousarray(matrix, dtype=np.float32)
@@ -124,13 +164,46 @@ class DistributedScanIndex:
         padded[: self.count] = matrix
         sh = NamedSharding(self.mesh, P(SHARD_AXIS, None))
         sh1 = NamedSharding(self.mesh, P(SHARD_AXIS))
-        self._buf = jax.device_put(padded, sh)
-        norms = np.linalg.norm(padded, axis=1)
-        inv = np.where(norms > 0, 1.0 / np.maximum(norms, 1e-30), 0.0).astype(
-            np.float32
-        )
-        self._inv_norms = jax.device_put(inv, sh1)
+        raw = jax.device_put(padded, sh)
+        self.bytes_uploaded += padded.nbytes
+        if self.device_dtype == "int8":
+            from minivectordb_tpu.ops.scan import update_rows_int8
+
+            zeros_buf = jax.device_put(
+                np.zeros((cap, self.dim), np.int8), sh
+            )
+            zeros_n = jax.device_put(np.zeros((cap,), np.float32), sh1)
+            self._buf, self._inv_norms = update_rows_int8(
+                zeros_buf, zeros_n, raw, 0
+            )
+        else:
+            from minivectordb_tpu.ops.scan import row_inv_norms
+
+            self._inv_norms = row_inv_norms(raw)
+            self._buf = raw if self.device_dtype == "float32" else raw.astype(
+                jnp.bfloat16
+            )
         self._capacity = cap
+
+    def update(self, rows: np.ndarray, start: int, new_count: int) -> None:
+        """Dirty-range sync: write `rows` at row `start` in place (donated
+        sharded buffers; XLA partitions the update across the mesh) instead
+        of re-uploading the corpus. Caller guarantees
+        start + len(rows) <= capacity and new_count <= capacity."""
+        from minivectordb_tpu.ops.scan import update_rows, update_rows_int8
+
+        rows = np.ascontiguousarray(rows, dtype=np.float32)
+        rows_dev = jnp.asarray(rows)
+        self.bytes_uploaded += rows.nbytes
+        if self.device_dtype == "int8":
+            self._buf, self._inv_norms = update_rows_int8(
+                self._buf, self._inv_norms, rows_dev, start
+            )
+        else:
+            self._buf, self._inv_norms = update_rows(
+                self._buf, self._inv_norms, rows_dev, start
+            )
+        self.count = int(new_count)
 
     def snapshot(self) -> "DistSnapshot":
         """Frozen view for lock-free search (mirrors StoreSnapshot): captures

@@ -27,10 +27,36 @@ from minivectordb_tpu.rerank.hashing import text_hash_scores
 
 DEFAULT_WEIGHTS = (0.80, 0.15, 0.05)
 
+# Candidate counts at or above this route to the fused device kernel
+# (rerank/device.py) — at reference scale (k=6) host Python wins on latency;
+# at candidate-set scale the batched device program wins (BASELINE north
+# star: hash + fuzzy as a batched device kernel over the candidate set).
+DEVICE_RERANK_THRESHOLD = 32
+
 
 def hybrid_rerank_results(
-    sentences, search_scores, query, k=5, weights=DEFAULT_WEIGHTS
+    sentences, search_scores, query, k=5, weights=DEFAULT_WEIGHTS,
+    device: bool | None = None,
 ):
+    """device=True forces the fused device kernel, False forces host;
+    None (default) routes by candidate count."""
+    use_device = (
+        device
+        if device is not None
+        else len(sentences) >= DEVICE_RERANK_THRESHOLD
+    )
+    if use_device:
+        try:
+            from minivectordb_tpu.rerank.device import hybrid_rerank_device
+
+            return hybrid_rerank_device(
+                sentences, search_scores, query, k=k, weights=weights
+            )
+        except Exception:
+            if device:
+                raise
+            # fall through to the host path (same graceful-degrade contract
+            # as the reference, vector_database.py:439-441)
     try:
         hash_scores = text_hash_scores(query, sentences)
         fuzz_scores = fuzzy_ratios(query, sentences)

@@ -41,6 +41,8 @@ class ShardedVectorDatabase:
         durability: str = "shard",
         search_mode: str = "exact",
         mesh=None,
+        index: str = "flat",
+        ivf_opts: dict | None = None,
     ):
         """durability:
         - 'shard' (default): reference-compatible — every mutation rewrites
@@ -61,7 +63,8 @@ class ShardedVectorDatabase:
         self._use_wal = durability.startswith("wal")
         self._wal_fsync = durability == "wal_fsync"
         self._engine = SearchEngine(
-            device_dtype=self._device_dtype, search_mode=search_mode, mesh=mesh
+            device_dtype=self._device_dtype, search_mode=search_mode, mesh=mesh,
+            index=index, ivf_opts=ivf_opts,
         )
         self._shards = ShardRegistry(self.storage_dir, shard_size)
         self._wal_path = os.path.join(self.storage_dir, "wal.log")
@@ -340,8 +343,11 @@ class ShardedVectorDatabase:
     # -- rerank / autocut --------------------------------------------------
 
     def hybrid_rerank_results(self, sentences, search_scores, query, k=5,
-                              weights=(0.80, 0.15, 0.05)):
-        return _hybrid_rerank(sentences, search_scores, query, k=k, weights=weights)
+                              weights=(0.80, 0.15, 0.05), device=None):
+        """device=True forces the fused device rerank kernel, False the host
+        path; None routes by candidate count (rerank/hybrid.py)."""
+        return _hybrid_rerank(sentences, search_scores, query, k=k,
+                              weights=weights, device=device)
 
     def autocut_scores(self, score_list):
         return engine_mod.autocut_scores(score_list)

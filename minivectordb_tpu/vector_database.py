@@ -41,17 +41,37 @@ class VectorDatabase:
         device_dtype: str = "float32",
         search_mode: str = "exact",
         mesh=None,
+        index: str = "flat",
+        nlist: int = 1024,
+        nprobe: int = 32,
+        ivf_opts: dict | None = None,
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' or 'int8' (quantized
         device buffer, half/quarter HBM traffic). search_mode: 'exact' or
         'approx' (TPU ApproxTopK, recall~0.99, much faster at large batch).
         mesh: optional jax.sharding.Mesh — searches run row-partitioned
-        across the mesh with an ICI all-gather top-k merge."""
+        across the mesh with an ICI all-gather top-k merge.
+        index: 'flat' (exact scan) or 'ivf' — coarse-quantized ANN, built
+        lazily once the corpus passes ivf_opts['build_threshold'] rows
+        (incremental inserts overflow to an exact side-buffer until the
+        rebuild policy folds them in; the trained layout persists in the
+        pickle). nlist/nprobe are the IVF knobs; ivf_opts fine-tunes
+        {build_threshold, rebuild_frac, iters, lists_dtype}."""
         self.storage_file = storage_file
+        merged_ivf = {"nlist": nlist, "nprobe": nprobe, **(ivf_opts or {})}
         self._engine = SearchEngine(
-            device_dtype=device_dtype, search_mode=search_mode, mesh=mesh
+            device_dtype=device_dtype, search_mode=search_mode, mesh=mesh,
+            index=index, ivf_opts=merged_ivf,
         )
         self._load_database()
+
+    @property
+    def nprobe(self) -> int:
+        return self._engine.ivf_opts["nprobe"]
+
+    @nprobe.setter
+    def nprobe(self, value: int) -> None:
+        self._engine.ivf_opts["nprobe"] = int(value)
 
     # -- reference-compatible attributes -----------------------------------
 
@@ -101,6 +121,11 @@ class VectorDatabase:
                 data["metadata"],
                 data.get("inverted_index", defaultdict(set)),
             )
+            if data.get("ivf") is not None:
+                # trained IVF layout travels with the pickle; reattached to
+                # the corpus lazily on first search (one device scatter, no
+                # k-means re-run)
+                self._engine.set_ivf_state(data["ivf"])
 
     def persist_to_disk(self) -> None:
         """Pickle snapshot, schema-compatible with the reference
@@ -115,6 +140,12 @@ class VectorDatabase:
                 "inverse_id_map": dict(self._engine.inverse_id_map),
                 "inverted_index": self._engine.inverted_index,
             }
+            # extra key; the reference's loader reads only the 5 keys above,
+            # so its pickles stay loadable there (verified by the
+            # reference-pickle round-trip tests)
+            ivf_state = self._engine.ivf_state()
+            if ivf_state is not None:
+                data["ivf"] = ivf_state
         with open(self.storage_file, "wb") as f:
             pickle.dump(data, f)
 
@@ -203,8 +234,11 @@ class VectorDatabase:
     # -- rerank / autocut --------------------------------------------------
 
     def hybrid_rerank_results(self, sentences, search_scores, query, k=5,
-                              weights=(0.80, 0.15, 0.05)):
-        return _hybrid_rerank(sentences, search_scores, query, k=k, weights=weights)
+                              weights=(0.80, 0.15, 0.05), device=None):
+        """device=True forces the fused device rerank kernel, False the host
+        path; None routes by candidate count (rerank/hybrid.py)."""
+        return _hybrid_rerank(sentences, search_scores, query, k=k,
+                              weights=weights, device=device)
 
     def autocut_scores(self, score_list):
         return engine_mod.autocut_scores(score_list)

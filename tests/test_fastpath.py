@@ -175,3 +175,65 @@ def test_mesh_small_corpus_large_k_exact_count(n_rows, k):
     ids, scores, metas = db.find_most_similar(mat[0], k=k)
     assert len(ids) == min(k, n_rows)
     assert ids[0] == 0
+
+
+def test_mesh_incremental_sync_no_full_reupload():
+    """A mutation between searches ships only the dirty slab to the mesh,
+    not the corpus (round-1 reloaded everything on any mutation)."""
+    from minivectordb_tpu.parallel.mesh import search_mesh
+
+    mesh = search_mesh(8)
+    if mesh.devices.size < 2:
+        pytest.skip("needs multi-device mesh")
+    import uuid
+
+    db = VectorDatabase(
+        storage_file=f"/tmp/_mesh_incr_{uuid.uuid4().hex}.pkl", mesh=mesh
+    )
+    rng = np.random.default_rng(3)
+    n, d = 4000, 64  # below the 4096 capacity bucket: inserts fit in place
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    db.store_embeddings_batch(list(range(n)), mat)
+    db.find_most_similar(mat[0], k=3)  # initial full load
+    dist = db._engine._dist
+    base_bytes = dist.bytes_uploaded
+    assert base_bytes >= n * d * 4
+
+    db.store_embedding(n + 1, np.ones(d, np.float32))
+    ids, _, _ = db.find_most_similar(np.ones(d, np.float32), k=2)
+    assert ids[0] == n + 1
+    delta = dist.bytes_uploaded - base_bytes
+    assert delta <= 64 * d * 4, f"mutation re-shipped {delta} bytes"
+
+    # delete -> dirty suffix from the deleted row, still incremental
+    base_bytes = dist.bytes_uploaded
+    db.delete_embedding(n - 10)  # near the tail: small dirty suffix
+    ids2, _, _ = db.find_most_similar(mat[5], k=3)
+    assert ids2[0] == 5
+    delta = dist.bytes_uploaded - base_bytes
+    assert delta <= 64 * d * 4, f"delete re-shipped {delta} bytes"
+
+
+def test_mesh_int8_parity_with_single_device():
+    """int8 quantized scan on the mesh returns the same rows as the
+    single-device int8 path (usearch-equivalent engine, multi-chip)."""
+    from minivectordb_tpu.core.engine import SearchEngine
+    from minivectordb_tpu.parallel.mesh import search_mesh
+
+    mesh = search_mesh(8)
+    if mesh.devices.size < 2:
+        pytest.skip("needs multi-device mesh")
+    rng = np.random.default_rng(4)
+    n, d = 2048, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    single = SearchEngine(device_dtype="int8")
+    single.load(mat, list(range(n)), [{} for _ in range(n)])
+    meshed = SearchEngine(device_dtype="int8", mesh=mesh)
+    meshed.load(mat, list(range(n)), [{} for _ in range(n)])
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    rs = single.search_batch(q, k=10, return_distances=True)
+    rm = meshed.search_batch(q, k=10, return_distances=True)
+    for (ids_s, d_s, _), (ids_m, d_m, _) in zip(rs, rm):
+        assert list(ids_s) == list(ids_m)
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_m),
+                                   rtol=1e-5, atol=1e-5)
