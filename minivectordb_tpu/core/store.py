@@ -20,6 +20,8 @@ runtime scalar.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 
 import jax
@@ -54,6 +56,11 @@ class VectorStore:
         self._inv_norms = None
         self._dev_capacity = 0
         self._dirty_from = 0  # lowest host row not reflected on device
+        # weakrefs to snapshots created against the CURRENT device buffer.
+        # In-place updates donate (invalidate) that buffer, so sync() must
+        # fall back to a copying update while any such snapshot is alive —
+        # otherwise a search running outside the lock hits a deleted buffer.
+        self._snap_refs: list[weakref.ref] = []
 
     # -- host-side API -----------------------------------------------------
 
@@ -152,6 +159,13 @@ class VectorStore:
                 self._scan_buf = host.astype(jnp.bfloat16)
         self._dev_capacity = dev_cap
         self._dirty_from = self.count
+        self._snap_refs = []
+
+    def _may_donate(self) -> bool:
+        """True when no live snapshot references the current device buffer
+        (only then may an in-place update donate it)."""
+        self._snap_refs = [r for r in self._snap_refs if r() is not None]
+        return not self._snap_refs
 
     def sync(self) -> tuple[jax.Array, jax.Array, int]:
         """Bring the device cache up to date; returns (buf, inv_norms, count)."""
@@ -175,18 +189,35 @@ class VectorStore:
                 rows = jnp.asarray(
                     np.ascontiguousarray(self._data[start : start + p])
                 )
+                donate = self._may_donate()
                 if self.device_dtype == "int8":
-                    self._buf, self._inv_norms = scan_ops.update_rows_int8(
+                    upd8 = (
+                        scan_ops.update_rows_int8
+                        if donate
+                        else scan_ops.update_rows_int8_nodonate
+                    )
+                    self._buf, self._inv_norms = upd8(
                         self._buf, self._inv_norms, rows, start
                     )
                 else:
-                    self._buf, self._inv_norms = scan_ops.update_rows(
+                    upd = (
+                        scan_ops.update_rows
+                        if donate
+                        else scan_ops.update_rows_nodonate
+                    )
+                    self._buf, self._inv_norms = upd(
                         self._buf, self._inv_norms, rows, start
                     )
                     if self.device_dtype == "mixed":
-                        self._scan_buf = scan_ops.update_rows_cast(
-                            self._scan_buf, rows, start
+                        updc = (
+                            scan_ops.update_rows_cast
+                            if donate
+                            else scan_ops.update_rows_cast_nodonate
                         )
+                        self._scan_buf = updc(self._scan_buf, rows, start)
+                # the update replaced self._buf, so previously-registered
+                # snapshots no longer reference the current buffer
+                self._snap_refs = []
                 self._dirty_from = self.count
         return self._buf, self._inv_norms, self.count
 
@@ -200,7 +231,7 @@ class VectorStore:
         scan outside the lock (the reference likewise searches outside its
         lock, vector_database.py:495-523)."""
         buf, inv_norms, count = self.sync()
-        return StoreSnapshot(
+        snap = StoreSnapshot(
             buf=buf,
             inv_norms=inv_norms,
             scan_buf=self._scan_buf if self.device_dtype == "mixed" else None,
@@ -208,6 +239,11 @@ class VectorStore:
             dev_capacity=self._dev_capacity,
             device_dtype=self.device_dtype,
         )
+        # Track liveness so sync() won't donate the buffer out from under a
+        # scan running outside the lock (plain weakref: GC just nulls it, no
+        # cross-thread container mutation).
+        self._snap_refs.append(weakref.ref(snap))
+        return snap
 
     def search(
         self,
@@ -230,7 +266,7 @@ class StoreSnapshot:
     """
 
     __slots__ = ("buf", "inv_norms", "scan_buf", "count", "dev_capacity",
-                 "device_dtype")
+                 "device_dtype", "__weakref__")
 
     def __init__(self, buf, inv_norms, scan_buf, count, dev_capacity, device_dtype):
         self.buf = buf

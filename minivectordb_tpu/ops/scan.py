@@ -167,18 +167,21 @@ def row_inv_norms(rows):
     return jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-38)), 0.0)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def update_rows(buf, inv_norms, rows, start):
-    """Write `rows` into buf[start:start+n] in place (donated buffers).
-
-    Replaces the reference's full-index rebuild on every mutation
-    (vector_database.py:42-47): only the changed row range is touched.
-    """
+def _update_rows_impl(buf, inv_norms, rows, start):
     rows = rows.astype(buf.dtype)
     buf = jax.lax.dynamic_update_slice(buf, rows, (start, 0))
     inorm = row_inv_norms(rows.astype(jnp.float32))
     inv_norms = jax.lax.dynamic_update_slice(inv_norms, inorm, (start,))
     return buf, inv_norms
+
+
+# Write `rows` into buf[start:start+n] in place (donated buffers) — replaces
+# the reference's full-index rebuild on every mutation (vector_database.py:
+# 42-47): only the changed row range is touched. Donation invalidates the
+# input buffer, so callers must use the `_nodonate` variant whenever a live
+# search snapshot still references it (see core/store.py:VectorStore.sync).
+update_rows = functools.partial(jax.jit, donate_argnums=(0, 1))(_update_rows_impl)
+update_rows_nodonate = jax.jit(_update_rows_impl)
 
 
 # Large host->device transfers go up in bounded slabs: this runtime's
@@ -212,18 +215,21 @@ def chunked_device_put(host: np.ndarray, dtype=None) -> jax.Array:
     return buf
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def update_rows_cast(buf_lowp, rows, start):
-    """Write f32 `rows` into a lower-precision shadow buffer in place
-    (the 'mixed' mode's bfloat16 phase-1 shadow)."""
+def _update_rows_cast_impl(buf_lowp, rows, start):
     return jax.lax.dynamic_update_slice(
         buf_lowp, rows.astype(buf_lowp.dtype), (start, 0)
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def update_rows_int8(buf_i8, inv_norms_i8, rows, start):
-    """Quantize `rows` (f32) to int8 and write in place at `start`."""
+# Write f32 `rows` into a lower-precision shadow buffer in place (the 'mixed'
+# mode's bfloat16 phase-1 shadow). Same donation caveat as update_rows.
+update_rows_cast = functools.partial(jax.jit, donate_argnums=(0,))(
+    _update_rows_cast_impl
+)
+update_rows_cast_nodonate = jax.jit(_update_rows_cast_impl)
+
+
+def _update_rows_int8_impl(buf_i8, inv_norms_i8, rows, start):
     rmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
     rscale = jnp.maximum(rmax, 1e-30) / 127.0
     ri = jnp.clip(jnp.round(rows / rscale), -127, 127).astype(jnp.int8)
@@ -231,3 +237,11 @@ def update_rows_int8(buf_i8, inv_norms_i8, rows, start):
     inorm = row_inv_norms(ri.astype(jnp.float32))
     inv_norms_i8 = jax.lax.dynamic_update_slice(inv_norms_i8, inorm, (start,))
     return buf_i8, inv_norms_i8
+
+
+# Quantize `rows` (f32) to int8 and write in place at `start`. Same donation
+# caveat as update_rows.
+update_rows_int8 = functools.partial(jax.jit, donate_argnums=(0, 1))(
+    _update_rows_int8_impl
+)
+update_rows_int8_nodonate = jax.jit(_update_rows_int8_impl)

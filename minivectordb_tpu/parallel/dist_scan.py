@@ -16,6 +16,7 @@ NCCL/MPI analog to port.
 from __future__ import annotations
 
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -138,6 +139,9 @@ class DistributedScanIndex:
         # observability: bytes shipped host->mesh (the incremental-sync test
         # asserts a mutation does not re-upload the corpus)
         self.bytes_uploaded = 0
+        # weakrefs to snapshots of the CURRENT buffer: update() may only
+        # donate it when none are alive (same race as core/store.py sync)
+        self._snap_refs: list[weakref.ref] = []
 
     @property
     def capacity(self) -> int:
@@ -184,42 +188,54 @@ class DistributedScanIndex:
                 jnp.bfloat16
             )
         self._capacity = cap
+        self._snap_refs = []
 
     def update(self, rows: np.ndarray, start: int, new_count: int) -> None:
         """Dirty-range sync: write `rows` at row `start` in place (donated
         sharded buffers; XLA partitions the update across the mesh) instead
         of re-uploading the corpus. Caller guarantees
         start + len(rows) <= capacity and new_count <= capacity."""
-        from minivectordb_tpu.ops.scan import update_rows, update_rows_int8
+        from minivectordb_tpu.ops import scan as scan_ops
 
         rows = np.ascontiguousarray(rows, dtype=np.float32)
         rows_dev = jnp.asarray(rows)
         self.bytes_uploaded += rows.nbytes
+        self._snap_refs = [r for r in self._snap_refs if r() is not None]
+        donate = not self._snap_refs
         if self.device_dtype == "int8":
-            self._buf, self._inv_norms = update_rows_int8(
-                self._buf, self._inv_norms, rows_dev, start
+            upd = (
+                scan_ops.update_rows_int8
+                if donate
+                else scan_ops.update_rows_int8_nodonate
             )
         else:
-            self._buf, self._inv_norms = update_rows(
-                self._buf, self._inv_norms, rows_dev, start
+            upd = (
+                scan_ops.update_rows if donate else scan_ops.update_rows_nodonate
             )
+        self._buf, self._inv_norms = upd(
+            self._buf, self._inv_norms, rows_dev, start
+        )
+        self._snap_refs = []
         self.count = int(new_count)
 
     def snapshot(self) -> "DistSnapshot":
         """Frozen view for lock-free search (mirrors StoreSnapshot): captures
         the immutable sharded arrays + count so a concurrent ``load`` cannot
         tear a search in progress."""
-        return DistSnapshot(
+        snap = DistSnapshot(
             self.mesh, self.n, self._buf, self._inv_norms, self.count,
             self._capacity,
         )
+        self._snap_refs.append(weakref.ref(snap))
+        return snap
 
     def search(self, queries: np.ndarray, k: int, mask: np.ndarray | None = None):
         return self.snapshot().search(queries, k, mask)
 
 
 class DistSnapshot:
-    __slots__ = ("mesh", "n", "buf", "inv_norms", "count", "capacity")
+    __slots__ = ("mesh", "n", "buf", "inv_norms", "count", "capacity",
+                 "__weakref__")
 
     def __init__(self, mesh, n, buf, inv_norms, count, capacity):
         self.mesh = mesh

@@ -115,3 +115,54 @@ def test_k_bucketing():
     assert scan_ops.k_bucket(3, 1024) == 4
     assert scan_ops.k_bucket(1000, 1024) == 1024
     assert scan_ops.k_bucket(5000, 1024) == 1024
+
+
+def test_snapshot_survives_concurrent_inplace_update():
+    """A snapshot taken before a mutation must stay searchable after the
+    mutation syncs (regression: in-place updates donated the device buffer a
+    live snapshot still referenced, so the out-of-lock scan raised
+    'Buffer has been deleted or donated')."""
+    rng = np.random.default_rng(7)
+    for dtype in ("float32", "int8", "mixed"):
+        store = VectorStore(16, device_dtype=dtype)
+        base = rng.normal(size=(64, 16)).astype(np.float32)
+        store.append(base)
+        snap = store.snapshot()  # holds the pre-mutation buffer
+        # incremental (non-bucket-crossing) mutation -> in-place update path
+        store.append(rng.normal(size=(4, 16)).astype(np.float32))
+        store.sync()
+        # old snapshot still valid: scans the pre-mutation view
+        q = base[3][None, :]
+        vals, idx = snap.search(q, 1)
+        assert idx[0, 0] == 3
+        assert snap.count == 64
+        # new snapshot sees the appended rows
+        vals2, idx2 = store.snapshot().search(q, 1)
+        assert idx2[0, 0] == 3
+
+
+def test_snapshot_release_restores_donation():
+    """Once no snapshot is alive, sync() goes back to donating updates."""
+    rng = np.random.default_rng(11)
+    store = VectorStore(8)
+    store.append(rng.normal(size=(32, 8)).astype(np.float32))
+    snap = store.snapshot()
+    assert not store._may_donate()
+    del snap
+    assert store._may_donate()
+
+
+def test_dist_snapshot_survives_concurrent_update():
+    import jax
+    from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
+    from minivectordb_tpu.parallel.mesh import search_mesh
+
+    mesh = search_mesh(len(jax.devices()))
+    rng = np.random.default_rng(5)
+    idx = DistributedScanIndex(mesh, 16)
+    base = rng.normal(size=(128, 16)).astype(np.float32)
+    idx.load(base)
+    snap = idx.snapshot()
+    idx.update(rng.normal(size=(8, 16)).astype(np.float32), 128, 136)
+    vals, ids = snap.search(base[5][None, :], 1)
+    assert ids[0, 0] == 5
