@@ -1,0 +1,747 @@
+"""Synthetic semantic corpus for training the bundled builtin-512 encoder.
+
+The reference ships a pretrained quantized Universal-Sentence-Encoder as its
+default model (reference setup.py:45-47, embedding_model.py:37-48); that blob
+is not redistributable and this environment has no network, so the builtin
+slot's semantic capability is TRAINED here instead: a concept-graph corpus
+(category -> concept groups -> surface forms) rendered through generic
+sentence templates, paired for in-batch InfoNCE (models/train.py).
+
+Two texts are positives when they mention the same concept group, or a
+member concept and its category word (which is what makes "i like dogs"
+retrieve "i like animals" — the reference's semantic-search contract,
+reference tests/test_vector_database.py:195-218). Different categories are
+never positives, so unrelated topics (e.g. programming vs technology) stay
+separated, which the reference autocut flow depends on
+(tests/test_vector_database.py:272-323).
+
+Everything is deterministic given the seed. Tokenization for the trained
+model uses WordVocabTokenizer (models/tokenizer.py): every corpus word gets
+a dedicated id (no hash collisions between trained concepts) and unknown
+words fall into hashed OOV buckets, so arbitrary user text still embeds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# category name -> (category surface forms, [concept groups])
+# Each concept group is a tuple of interchangeable surface forms (singular,
+# plural, close synonyms). Category forms act as a hypernym group every
+# member pairs with.
+CONCEPTS: dict[str, tuple[tuple[str, ...], list[tuple[str, ...]]]] = {
+    "animals": (
+        ("animal", "animals", "creature", "creatures", "pet", "pets",
+         "wildlife", "fauna", "beast", "beasts"),
+        [
+            ("dog", "dogs", "puppy", "puppies", "hound", "canine"),
+            ("cat", "cats", "kitten", "kittens", "feline"),
+            ("horse", "horses", "pony", "ponies", "stallion"),
+            ("cow", "cows", "cattle", "calf", "calves"),
+            ("sheep", "lamb", "lambs", "ewe"),
+            ("pig", "pigs", "piglet", "hog"),
+            ("rabbit", "rabbits", "bunny", "bunnies", "hare"),
+            ("mouse", "mice", "rat", "rats", "rodent", "rodents"),
+            ("bird", "birds", "sparrow", "pigeon", "pigeons"),
+            ("eagle", "eagles", "hawk", "hawks", "falcon"),
+            ("owl", "owls",),
+            ("duck", "ducks", "goose", "geese", "swan", "swans"),
+            ("chicken", "chickens", "hen", "hens", "rooster"),
+            ("fish", "fishes", "salmon", "trout", "tuna"),
+            ("shark", "sharks",),
+            ("whale", "whales", "dolphin", "dolphins", "orca"),
+            ("lion", "lions", "lioness"),
+            ("tiger", "tigers",),
+            ("bear", "bears", "grizzly", "panda", "pandas"),
+            ("wolf", "wolves", "fox", "foxes", "coyote"),
+            ("deer", "moose", "elk", "reindeer"),
+            ("monkey", "monkeys", "ape", "apes", "gorilla", "chimp"),
+            ("elephant", "elephants",),
+            ("giraffe", "giraffes", "zebra", "zebras", "hippo"),
+            ("snake", "snakes", "serpent", "cobra", "viper"),
+            ("lizard", "lizards", "gecko", "iguana", "reptile", "reptiles"),
+            ("frog", "frogs", "toad", "toads", "amphibian"),
+            ("turtle", "turtles", "tortoise"),
+            ("insect", "insects", "beetle", "beetles"),
+            ("bee", "bees", "wasp", "wasps", "hornet"),
+            ("ant", "ants", "termite", "termites"),
+            ("butterfly", "butterflies", "moth", "moths"),
+            ("spider", "spiders", "tarantula", "arachnid"),
+            ("hamster", "hamsters", "gerbil", "guinea"),
+            ("goat", "goats", "donkey", "donkeys", "mule"),
+            ("camel", "camels", "llama", "llamas", "alpaca"),
+            ("kangaroo", "kangaroos", "koala", "koalas"),
+            ("penguin", "penguins", "seal", "seals", "walrus"),
+            ("octopus", "squid", "jellyfish", "crab", "crabs", "lobster"),
+            ("bat", "bats", "hedgehog", "squirrel", "squirrels"),
+        ],
+    ),
+    "vehicles": (
+        ("vehicle", "vehicles", "transport", "transportation", "ride",
+         "rides", "automobile", "automobiles"),
+        [
+            ("car", "cars", "sedan", "hatchback", "coupe"),
+            ("truck", "trucks", "lorry", "lorries", "pickup"),
+            ("bus", "buses", "minibus", "trolley"),
+            ("motorcycle", "motorcycles", "motorbike", "motorbikes", "scooter"),
+            ("bicycle", "bicycles", "bike", "bikes", "cycling"),
+            ("train", "trains", "railway", "railways", "subway", "metro"),
+            ("airplane", "airplanes", "plane", "planes", "aircraft", "jet",
+             "jets"),
+            ("helicopter", "helicopters", "chopper"),
+            ("boat", "boats", "ship", "ships", "yacht", "yachts"),
+            ("ferry", "ferries", "sailboat", "canoe", "kayak"),
+            ("van", "vans", "trailer", "trailers", "caravan"),
+            ("tractor", "tractors", "bulldozer", "excavator", "crane"),
+            ("taxi", "taxis", "cab", "cabs"),
+            ("rocket", "rockets", "spaceship", "spacecraft", "shuttle"),
+            ("engine", "engines", "motor", "motors", "turbine"),
+            ("wheel", "wheels", "tire", "tires", "brake", "brakes"),
+            ("driver", "drivers", "driving", "drive", "drove"),
+            ("highway", "highways", "road", "roads", "traffic"),
+            ("garage", "garages", "fuel", "gasoline", "diesel", "petrol"),
+        ],
+    ),
+    "technology": (
+        ("technology", "technologies", "tech", "innovation", "innovations",
+         "future", "futuristic", "modern", "advanced"),
+        [
+            ("robot", "robots", "robotics", "automation", "automated"),
+            ("gadget", "gadgets", "device", "devices", "appliance"),
+            ("smartphone", "smartphones", "phone", "phones", "mobile"),
+            ("internet", "online", "web", "website", "websites"),
+            ("network", "networks", "wifi", "broadband", "wireless"),
+            ("satellite", "satellites", "radar", "antenna"),
+            ("electronics", "electronic", "circuit", "circuits", "chip",
+             "chips", "semiconductor"),
+            ("battery", "batteries", "charger", "charging", "electricity",
+             "electric"),
+            ("invention", "inventions", "inventor", "breakthrough",
+             "discovery", "discoveries"),
+            ("digital", "virtual", "cyber", "cyberspace"),
+            ("drone", "drones", "sensor", "sensors"),
+            ("laser", "lasers", "hologram", "holograms"),
+            ("startup", "startups", "silicon", "prototype", "prototypes"),
+            ("machine", "machines", "machinery", "mechanism", "mechanisms"),
+        ],
+    ),
+    "programming": (
+        ("programming", "coding", "code", "codes", "software", "developer",
+         "developers", "programmer", "programmers"),
+        [
+            ("python", "javascript", "java", "cpp", "rust", "golang"),
+            ("algorithm", "algorithms", "function", "functions", "loop",
+             "loops"),
+            ("compiler", "compilers", "interpreter", "debugger", "debugging"),
+            ("database", "databases", "sql", "query", "queries"),
+            ("server", "servers", "backend", "frontend", "api", "apis"),
+            ("variable", "variables", "array", "arrays", "string", "strings"),
+            ("framework", "frameworks", "module",
+             "modules", "package", "packages"),
+            ("computer", "computers", "laptop", "laptops", "desktop"),
+            ("keyboard", "keyboards", "monitor", "monitors"),
+            ("bug", "bugs", "crash", "crashes", "error", "errors"),
+            ("git", "github", "commit", "commits", "merge"),
+            ("linux", "unix", "windows", "macos", "terminal"),
+            ("script", "scripts", "scripting"),
+            ("hacker", "hackers", "hacking", "encryption", "password",
+             "passwords"),
+        ],
+    ),
+    "food": (
+        ("food", "foods", "meal", "meals", "dish", "dishes", "cuisine",
+         "eating", "snack", "snacks"),
+        [
+            ("pizza", "pizzas", "pasta", "spaghetti", "lasagna"),
+            ("burger", "burgers", "sandwich", "sandwiches", "hotdog"),
+            ("bread", "loaf", "toast", "bakery", "croissant"),
+            ("cheese", "cheeses", "butter", "cream", "yogurt"),
+            ("egg", "eggs", "omelet", "bacon"),
+            ("rice", "noodle", "noodles", "dumpling", "dumplings", "sushi"),
+            ("soup", "soups", "stew", "broth", "curry"),
+            ("salad", "salads", "vegetable", "vegetables", "veggies"),
+            ("fruit", "fruits", "apple", "apples", "banana", "bananas"),
+            ("orange", "oranges", "lemon", "lemons", "grape", "grapes"),
+            ("strawberry", "strawberries", "berry", "berries", "cherry"),
+            ("cake", "cakes", "cookie", "cookies", "dessert", "desserts"),
+            ("chocolate", "chocolates", "candy", "candies", "sweets"),
+            ("meat", "steak", "beef", "pork"),
+            ("potato", "potatoes", "tomato", "tomatoes", "onion", "onions"),
+            ("breakfast", "lunch", "dinner", "supper", "brunch"),
+            ("pepper", "salt", "spice", "spices", "garlic"),
+            ("icecream", "pudding", "pie", "pies", "waffle", "waffles"),
+        ],
+    ),
+    "drinks": (
+        ("drink", "drinks", "beverage", "beverages", "refreshment"),
+        [
+            ("coffee", "espresso", "latte", "cappuccino", "mocha"),
+            ("tea", "teas", "chai", "matcha"),
+            ("juice", "juices", "smoothie", "smoothies", "lemonade"),
+            ("water", "soda", "cola", "sparkling"),
+            ("milk", "milkshake", "cocoa"),
+            ("beer", "beers", "wine", "wines", "whiskey", "vodka"),
+        ],
+    ),
+    "sports": (
+        ("sport", "sports", "athletics", "athlete", "athletes", "game",
+         "games", "match", "matches"),
+        [
+            ("football", "soccer", "goalkeeper", "striker"),
+            ("basketball", "dunk", "hoop", "hoops"),
+            ("tennis", "racket", "rackets", "badminton"),
+            ("baseball", "softball", "pitcher", "catcher"),
+            ("golf", "golfer", "golfers", "putt"),
+            ("swimming", "swimmer", "swimmers", "swim", "diving"),
+            ("running", "runner", "runners", "marathon", "sprint", "jogging"),
+            ("boxing", "boxer", "boxers", "wrestling", "wrestler"),
+            ("hockey", "skating", "skater", "skiing", "snowboard"),
+            ("volleyball", "handball", "rugby", "cricket"),
+            ("gym", "gyms", "fitness", "workout", "workouts", "exercise"),
+            ("yoga", "pilates", "stretching", "meditation"),
+            ("champion", "champions", "trophy", "trophies", "medal",
+             "medals", "tournament"),
+            ("coach", "coaches", "referee", "referees", "team", "teams"),
+            ("climbing", "climber", "hiking", "hiker", "hikers"),
+            ("surfing", "surfer", "surfers", "skateboard", "skateboarding"),
+        ],
+    ),
+    "music": (
+        ("music", "musical", "musician", "musicians", "song", "songs",
+         "melody", "melodies", "tune", "tunes"),
+        [
+            ("guitar", "guitars", "guitarist", "bass"),
+            ("piano", "pianos", "pianist"),
+            ("drum", "drums", "drummer", "percussion"),
+            ("violin", "violins", "violinist", "cello", "viola"),
+            ("trumpet", "trumpets", "saxophone", "flute", "clarinet"),
+            ("singer", "singers", "singing", "vocals", "choir"),
+            ("band", "bands", "orchestra", "orchestras", "ensemble"),
+            ("concert", "concerts", "gig", "gigs", "festival", "festivals"),
+            ("jazz", "blues", "hiphop", "rap"),
+            ("album", "albums", "playlist", "playlists", "record",
+             "records"),
+            ("rhythm", "rhythms", "beat", "beats", "tempo", "harmony"),
+            ("opera", "symphony", "symphonies", "sonata"),
+        ],
+    ),
+    "weather": (
+        ("weather", "climate", "forecast", "forecasts", "meteorology"),
+        [
+            ("rain", "rains", "rainy", "raining", "drizzle", "shower"),
+            ("snow", "snowy", "snowing", "snowfall", "blizzard"),
+            ("sun", "sunny", "sunshine", "sunlight"),
+            ("cloud", "clouds", "cloudy", "overcast", "fog", "foggy"),
+            ("wind", "winds", "windy", "breeze", "gust", "gusts"),
+            ("storm", "storms", "stormy", "thunder", "lightning"),
+            ("hurricane", "hurricanes", "tornado", "tornadoes", "typhoon"),
+            ("temperature", "heat", "heatwave", "warm", "hot"),
+            ("cold", "chilly", "freezing", "frost", "frosty", "ice"),
+            ("humidity", "humid", "drought", "hail"),
+        ],
+    ),
+    "nature": (
+        ("nature", "natural", "outdoors", "wilderness", "environment",
+         "environmental"),
+        [
+            ("tree", "trees", "oak", "pine", "maple", "birch"),
+            ("forest", "forests", "woods", "woodland", "jungle", "jungles"),
+            ("flower", "flowers", "rose", "roses", "tulip", "tulips"),
+            ("grass", "lawn", "meadow", "meadows", "field", "fields"),
+            ("mountain", "mountains", "peak", "peaks", "hill", "hills"),
+            ("river", "rivers", "stream", "streams", "creek", "waterfall"),
+            ("lake", "lakes", "pond", "ponds", "lagoon"),
+            ("ocean", "oceans", "sea", "seas", "tide", "tides"),
+            ("beach", "beaches", "sand", "shore", "coast", "coastal"),
+            ("desert", "deserts", "dune", "dunes", "oasis"),
+            ("rock", "rocks", "stone", "stones", "boulder", "boulders"),
+            ("cave", "caves", "canyon", "canyons", "cliff", "cliffs"),
+            ("island", "islands", "volcano", "volcanoes", "glacier"),
+            ("leaf", "leaves", "branch", "branches", "root", "roots"),
+            ("seed", "seeds", "plant", "plants", "garden", "gardens"),
+            ("moon", "lunar", "star", "stars", "galaxy", "galaxies"),
+            ("planet", "planets", "earth", "mars", "jupiter"),
+            ("sky", "skies", "horizon", "sunrise", "sunset"),
+        ],
+    ),
+    "emotions": (
+        ("emotion", "emotions", "feeling", "feelings", "mood", "moods"),
+        [
+            ("happy", "happiness", "joy", "joyful", "cheerful", "glad"),
+            ("sad", "sadness", "sorrow", "unhappy", "gloomy"),
+            ("angry", "anger", "furious", "mad", "rage"),
+            ("fear", "afraid", "scared", "frightened", "terrified"),
+            ("love", "loving", "affection", "adore", "adored"),
+            ("surprise", "surprised", "amazed", "astonished", "shocked"),
+            ("calm", "peaceful", "relaxed", "serene", "tranquil"),
+            ("worried", "worry", "anxious", "anxiety", "nervous"),
+            ("proud", "pride", "confident", "confidence", "brave"),
+            ("bored", "boredom", "tired", "exhausted", "sleepy"),
+            ("excited", "excitement", "thrilled", "eager", "enthusiastic"),
+            ("jealous", "jealousy", "envy", "envious"),
+        ],
+    ),
+    "family": (
+        ("family", "families", "relative", "relatives", "household",
+         "kin"),
+        [
+            ("mother", "mom", "mum", "mama"),
+            ("father", "dad", "papa", "daddy"),
+            ("brother", "brothers", "sister", "sisters", "sibling",
+             "siblings"),
+            ("son", "sons", "daughter", "daughters", "child", "children"),
+            ("baby", "babies", "infant", "infants", "toddler", "toddlers"),
+            ("grandmother", "grandma", "grandfather", "grandpa",
+             "grandparents"),
+            ("uncle", "uncles", "aunt", "aunts", "cousin", "cousins"),
+            ("husband", "wife", "spouse", "partner", "marriage"),
+            ("friend", "friends", "friendship", "buddy", "buddies", "pal"),
+            ("neighbor", "neighbors", "neighborhood", "community"),
+        ],
+    ),
+    "professions": (
+        ("profession", "professions", "job", "jobs", "career", "careers",
+         "occupation", "work", "worker", "workers"),
+        [
+            ("doctor", "doctors", "physician", "surgeon", "surgeons"),
+            ("nurse", "nurses", "paramedic", "paramedics"),
+            ("teacher", "teachers", "professor", "professors", "tutor"),
+            ("lawyer", "lawyers", "attorney", "attorneys", "judge",
+             "judges"),
+            ("engineer", "engineers", "engineering", "architect",
+             "architects"),
+            ("scientist", "scientists", "researcher", "researchers"),
+            ("chef", "chefs", "cook", "cooks", "baker", "bakers"),
+            ("farmer", "farmers", "farming", "rancher", "ranchers"),
+            ("police", "policeman", "officer", "officers", "detective"),
+            ("firefighter", "firefighters", "fireman"),
+            ("pilot", "pilots", "astronaut", "astronauts"),
+            ("artist", "artists", "painter", "painters", "sculptor"),
+            ("writer", "writers", "author", "authors", "journalist",
+             "journalists"),
+            ("actor", "actors", "actress", "director", "directors"),
+            ("dentist", "dentists", "pharmacist", "veterinarian", "vet"),
+            ("plumber", "plumbers", "electrician", "electricians",
+             "carpenter", "carpenters", "mechanic", "mechanics"),
+            ("soldier", "soldiers", "military", "army", "navy"),
+            ("banker", "bankers", "accountant", "accountants", "cashier"),
+            ("salesman", "salesperson", "vendor", "vendors", "merchant"),
+            ("barber", "barbers", "hairdresser", "stylist"),
+        ],
+    ),
+    "places": (
+        ("place", "places", "location", "locations", "destination",
+         "destinations", "area", "areas"),
+        [
+            ("city", "cities", "urban", "downtown", "metropolis"),
+            ("village", "villages", "town", "towns", "rural",
+             "countryside"),
+            ("house", "houses", "home", "homes", "cottage", "cabin"),
+            ("apartment", "apartments", "flat", "flats", "condo"),
+            ("school", "schools", "classroom", "classrooms", "campus"),
+            ("university", "universities", "college", "colleges",
+             "academy"),
+            ("hospital", "hospitals", "clinic", "clinics", "pharmacy"),
+            ("store", "stores", "shop", "shops", "market", "markets",
+             "mall"),
+            ("restaurant", "restaurants", "cafe", "cafes", "diner",
+             "bistro"),
+            ("hotel", "hotels", "motel", "motels", "hostel", "resort"),
+            ("library", "librarian", "bookstore", "archive", "archives"),
+            ("museum", "museums", "gallery", "galleries", "exhibit"),
+            ("park", "parks", "playground", "playgrounds", "plaza"),
+            ("church", "churches", "temple", "temples", "cathedral",
+             "mosque"),
+            ("airport", "airports", "station", "stations"),
+            ("bridge", "bridges", "tunnel", "tunnels", "tower", "towers"),
+            ("factory", "factories", "warehouse", "warehouses"),
+            ("office", "offices", "workplace", "headquarters"),
+            ("farm", "farms", "barn", "barns", "ranch", "ranches"),
+            ("castle", "castles", "palace", "palaces", "mansion",
+             "mansions"),
+            ("kitchen", "kitchens", "bathroom", "bathrooms", "bedroom",
+             "bedrooms"),
+            ("country", "countries", "nation", "nations", "border",
+             "borders"),
+            ("zoo", "zoos", "aquarium", "circus", "stadium", "stadiums"),
+        ],
+    ),
+    "clothing": (
+        ("clothing", "clothes", "garment", "garments", "outfit", "outfits",
+         "apparel", "fashion", "wardrobe"),
+        [
+            ("shirt", "shirts", "tshirt", "blouse", "blouses"),
+            ("pants", "trousers", "jeans", "shorts", "leggings"),
+            ("dress", "dresses", "skirt", "skirts", "gown", "gowns"),
+            ("jacket", "jackets", "coat", "coats", "blazer", "hoodie"),
+            ("shoe", "shoes", "boot", "boots", "sneaker", "sneakers"),
+            ("hat", "hats", "cap", "caps", "helmet", "helmets"),
+            ("sock", "socks", "glove", "gloves", "scarf", "scarves"),
+            ("sweater", "sweaters", "cardigan", "pullover"),
+            ("suit", "suits", "tie", "ties", "tuxedo"),
+            ("belt", "belts", "wallet", "wallets", "purse", "handbag"),
+            ("jewelry", "necklace", "necklaces", "bracelet",
+             "earring", "earrings"),
+            ("watch", "watches", "sunglasses", "glasses", "spectacles"),
+        ],
+    ),
+    "furniture": (
+        ("furniture", "furnishing", "furnishings", "decor", "interior"),
+        [
+            ("chair", "chairs", "stool", "stools", "bench", "benches"),
+            ("table", "tables", "desk", "desks", "counter"),
+            ("sofa", "sofas", "couch", "couches", "armchair"),
+            ("bed", "beds", "mattress", "mattresses", "pillow", "pillows"),
+            ("shelf", "shelves", "bookcase", "cabinet", "cabinets"),
+            ("lamp", "lamps", "chandelier", "lantern", "lanterns"),
+            ("mirror", "mirrors", "curtain", "curtains", "carpet", "rug"),
+            ("drawer", "drawers", "closet", "closets"),
+            ("oven", "ovens", "stove", "stoves", "microwave", "fridge",
+             "refrigerator"),
+            ("sink", "sinks", "bathtub", "toilet"),
+        ],
+    ),
+    "science": (
+        ("science", "sciences", "scientific", "research", "laboratory",
+         "labs", "experiment", "experiments"),
+        [
+            ("physics", "physicist", "quantum", "relativity", "gravity"),
+            ("chemistry", "chemist", "chemical", "chemicals", "molecule",
+             "molecules"),
+            ("biology", "biologist", "organism", "organisms", "cell",
+             "cells"),
+            ("astronomy", "astronomer", "telescope", "telescopes",
+             "observatory"),
+            ("geology", "geologist", "mineral", "minerals", "fossil",
+             "fossils"),
+            ("mathematics", "math", "mathematician", "geometry", "algebra",
+             "calculus"),
+            ("medicine", "medical", "vaccine", "vaccines", "antibiotic",
+             "therapy"),
+            ("genetics", "gene", "genes", "dna", "chromosome",
+             "chromosomes"),
+            ("atom", "atoms", "electron", "electrons", "proton", "neutron"),
+            ("energy", "energies", "photon", "radiation", "nuclear"),
+            ("microscope", "microscopes", "specimen", "specimens"),
+            ("theory", "theories", "hypothesis", "hypotheses", "formula",
+             "formulas", "equation", "equations"),
+        ],
+    ),
+    "money": (
+        ("money", "finance", "financial", "economy", "economic",
+         "economics"),
+        [
+            ("bank", "banks", "banking", "deposit", "deposits"),
+            ("cash", "coin", "coins", "banknote", "currency",
+             "currencies"),
+            ("dollar", "dollars", "euro", "euros", "yen"),
+            ("price", "prices", "cost", "costs", "expense", "expenses"),
+            ("salary", "salaries", "wage", "wages", "income", "payday"),
+            ("budget", "budgets", "savings", "saving", "thrift"),
+            ("investment", "investments", "investor", "investors",
+             "stock", "stocks"),
+            ("profit", "profits", "revenue", "revenues", "earnings"),
+            ("debt", "debts", "loan", "loans", "mortgage", "mortgages"),
+            ("tax", "taxes", "taxation", "tariff", "tariffs"),
+            ("trade", "trading", "commerce", "business", "businesses"),
+            ("insurance", "pension", "pensions", "retirement"),
+        ],
+    ),
+    "health": (
+        ("health", "healthy", "wellness", "wellbeing", "healthcare"),
+        [
+            ("disease", "diseases", "illness", "illnesses", "sickness",
+             "sick"),
+            ("fever", "flu", "influenza", "infection",
+             "infections"),
+            ("headache", "headaches", "migraine", "migraines", "pain",
+             "ache"),
+            ("injury", "injuries", "wound", "wounds", "bruise", "fracture"),
+            ("allergy", "allergies", "allergic", "asthma"),
+            ("diet", "diets", "nutrition", "nutrient", "nutrients",
+             "vitamin", "vitamins"),
+            ("sleep", "sleeping", "nap", "naps", "rest", "insomnia"),
+            ("surgery", "surgeries", "operation", "operations",
+             "transplant"),
+            ("heart", "hearts", "cardiac", "pulse", "heartbeat"),
+            ("brain", "brains", "neuron", "neurons"),
+            ("muscle", "muscles", "bone", "bones", "skeleton", "spine"),
+            ("skin", "hair", "nail", "nails", "tooth", "teeth"),
+        ],
+    ),
+    "education": (
+        ("education", "educational", "learning", "study", "studies",
+         "studying", "lesson", "lessons"),
+        [
+            ("student", "students", "pupil", "pupils", "learner",
+             "learners"),
+            ("exam", "exams", "quiz", "quizzes", "assessment"),
+            ("homework", "assignment", "assignments", "essay", "essays"),
+            ("grade", "grades", "marks", "diploma", "degree"),
+            ("book", "books", "textbook", "textbooks", "notebook",
+             "notebooks"),
+            ("pen", "pens", "pencil", "pencils", "eraser", "chalk"),
+            ("history", "historical", "geography", "literature",
+             "philosophy"),
+            ("language", "languages", "grammar", "vocabulary", "spelling"),
+            ("reading", "reader", "readers", "writing", "handwriting"),
+            ("lecture", "lectures", "seminar", "seminars", "curriculum"),
+        ],
+    ),
+    "art": (
+        ("art", "arts", "artistic", "artwork", "artworks", "creative",
+         "creativity"),
+        [
+            ("painting", "paintings", "portrait", "portraits", "canvas"),
+            ("drawing", "drawings", "sketch", "sketches", "illustration",
+             "illustrations"),
+            ("sculpture", "sculptures", "statue", "statues", "carving"),
+            ("photography", "photograph", "photographs", "photo", "photos",
+             "camera", "cameras"),
+            ("film", "films", "movie", "movies", "cinema", "cinemas"),
+            ("theater", "theatre", "drama", "stage"),
+            ("dance", "dancing", "dancer", "dancers", "ballet"),
+            ("poem", "poems", "poetry", "poet", "poets", "verse"),
+            ("novel", "novels", "story", "stories", "fiction", "tale",
+             "tales"),
+            ("design", "designs", "designer", "designers", "graphic"),
+            ("color", "colors", "paint", "paints", "brush", "brushes"),
+            ("comic", "comics", "cartoon", "cartoons", "animation",
+             "anime"),
+        ],
+    ),
+    "games": (
+        ("gaming", "gamer", "gamers", "videogame", "videogames",
+         "playtime"),
+        [
+            ("chess", "checkers", "backgammon"),
+            ("puzzle", "puzzles", "crossword", "crosswords", "sudoku",
+             "riddle", "riddles"),
+            ("card", "cards", "poker", "blackjack", "solitaire"),
+            ("dice", "domino", "dominoes", "board"),
+            ("console", "consoles", "playstation", "xbox", "nintendo"),
+            ("arcade", "arcades", "pinball", "joystick", "joysticks"),
+            ("toy", "toys", "doll", "dolls", "lego", "blocks"),
+            ("kite", "kites", "marble", "marbles", "yoyo"),
+        ],
+    ),
+    "time": (
+        ("time", "times", "moment", "moments", "period", "periods",
+         "duration"),
+        [
+            ("morning", "mornings", "dawn", "noon", "midday"),
+            ("evening", "evenings", "night", "nights", "midnight",
+             "dusk"),
+            ("today", "tomorrow", "yesterday", "tonight"),
+            ("week", "weeks", "weekend", "weekends", "weekday",
+             "weekdays"),
+            ("month", "months", "year", "years", "decade", "decades",
+             "century", "centuries"),
+            ("spring", "summer", "autumn", "winter"),
+            ("january", "february", "april",
+             "june"),
+            ("july", "august", "september", "october", "november",
+             "december"),
+            ("monday", "tuesday", "wednesday", "thursday", "friday"),
+            ("saturday", "sunday", "holiday", "holidays", "vacation",
+             "vacations"),
+            ("clock", "clocks", "calendar", "calendars", "schedule",
+             "schedules", "alarm"),
+            ("hour", "hours", "minute", "minutes", "second", "seconds"),
+            ("birthday", "birthdays", "anniversary", "anniversaries",
+             "celebration", "celebrations"),
+        ],
+    ),
+    "travel": (
+        ("travel", "travels", "traveling", "traveler", "travelers",
+         "journey", "journeys", "trip", "trips", "tour", "tours"),
+        [
+            ("tourist", "tourists", "tourism", "sightseeing",
+             "sightseer"),
+            ("passport", "passports", "visa", "visas", "ticket",
+             "tickets"),
+            ("luggage", "suitcase", "suitcases", "backpack",
+             "backpacks", "baggage"),
+            ("map", "maps", "compass", "gps", "navigation"),
+            ("adventure", "adventures", "expedition", "expeditions",
+             "exploration", "explorer", "explorers"),
+            ("camp", "camping", "campsite", "tent", "tents", "campfire"),
+            ("souvenir", "souvenirs", "postcard", "postcards"),
+            ("cruise", "cruises", "voyage", "voyages", "sail", "sailing"),
+            ("abroad", "overseas", "foreign", "international"),
+            ("guide", "guides", "itinerary", "itineraries", "landmark",
+             "landmarks"),
+        ],
+    ),
+    "communication": (
+        ("communication", "communicate", "conversation", "conversations",
+         "dialogue", "discussion", "discussions"),
+        [
+            ("letter", "letters", "mail", "envelope", "envelopes",
+             "stamp", "stamps"),
+            ("email", "emails", "inbox", "attachment", "attachments"),
+            ("message", "messages", "messaging", "chat", "chats",
+             "texting"),
+            ("call", "calls", "calling", "voicemail", "dial"),
+            ("news", "newspaper", "newspapers", "headline", "headlines",
+             "press"),
+            ("radio", "radios", "broadcast", "broadcasts", "podcast",
+             "podcasts"),
+            ("television", "tv", "channel", "channels", "documentary",
+             "documentaries"),
+            ("speech", "speeches", "speaker", "speakers", "announcement",
+             "announcements"),
+            ("interview", "interviews", "reporter", "reporters",
+             "journalism"),
+            ("meeting", "meetings", "conference", "conferences",
+             "presentation", "presentations"),
+            ("gossip", "rumor", "rumors", "secret", "secrets", "whisper"),
+            ("question", "questions", "answer", "answers", "reply",
+             "replies"),
+        ],
+    ),
+}
+
+# Generic sentence templates ("{}" takes a surface form). Deliberately common
+# patterns — including the ones the reference README/tests use ("i like X",
+# "X is the future"), which are ordinary English frames, not test fixtures.
+TEMPLATES = [
+    "i like {}",
+    "i love {}",
+    "i really enjoy {}",
+    "i am interested in {}",
+    "we talked about {}",
+    "this is about {}",
+    "a story about {}",
+    "tell me about {}",
+    "{} is great",
+    "{} is amazing",
+    "{} is wonderful",
+    "{} is the future",
+    "{} rocks",
+    "{} is my favorite",
+    "i think {} is interesting",
+    "everyone loves {}",
+    "my friend likes {}",
+    "she enjoys {}",
+    "he is a fan of {}",
+    "they are passionate about {}",
+    "people talk about {}",
+    "news about {}",
+    "a question about {}",
+    "thoughts on {}",
+    "the world of {}",
+    "all about {}",
+    "{}",
+    "{} and more",
+    "learning about {}",
+    "a book about {}",
+]
+
+
+# Held out from training entirely — used by train_builtin.py's probes to
+# measure template generalization (composition, not memorization).
+EVAL_TEMPLATES = [
+    "honestly {} might be the best",
+    "nothing beats {}",
+    "do you know anything about {}",
+    "yesterday we saw some {}",
+    "there was a show about {}",
+]
+
+
+def vocabulary() -> list[tuple[str, str, int]]:
+    """All (surface_form, category, group_index) triples."""
+    out = []
+    for cat, (cat_forms, groups) in CONCEPTS.items():
+        for f in cat_forms:
+            out.append((f, cat, -1))
+        for gi, group in enumerate(groups):
+            for f in group:
+                out.append((f, cat, gi))
+    return out
+
+
+def word_list() -> list[str]:
+    """The corpus vocabulary in deterministic order — the WordVocabTokenizer
+    id assignment the trained artifact is bound to."""
+    out, seen = [], set()
+    for form, _cat, _gi in vocabulary():
+        if form not in seen:
+            seen.add(form)
+            out.append(form)
+    return sorted(out)
+
+
+class PairSampler:
+    """Yields (query_text, passage_text) positive pairs.
+
+    same-group pairs teach synonym/plural equivalence; member<->category
+    pairs teach the hypernym relation ("dogs" -> "animals"). Templates are
+    drawn independently per side so the model cannot latch onto frames.
+    """
+
+    def __init__(self, seed: int = 0, hypernym_fraction: float = 0.3):
+        self.rng = np.random.default_rng(seed)
+        self.hypernym_fraction = hypernym_fraction
+        self.cats = list(CONCEPTS)
+
+    def _render(self, form: str) -> str:
+        t = TEMPLATES[self.rng.integers(len(TEMPLATES))]
+        return t.format(form)
+
+    def pair(self) -> tuple[str, str]:
+        cat = self.cats[self.rng.integers(len(self.cats))]
+        cat_forms, groups = CONCEPTS[cat]
+        gi = int(self.rng.integers(len(groups)))
+        group = groups[gi]
+        a = group[self.rng.integers(len(group))]
+        if self.rng.random() < self.hypernym_fraction:
+            b = cat_forms[self.rng.integers(len(cat_forms))]
+        else:
+            b = group[self.rng.integers(len(group))]
+        if self.rng.random() < 0.5:
+            a, b = b, a
+        return self._render(a), self._render(b)
+
+    def batch_texts(self, n: int) -> tuple[list[str], list[str]]:
+        qs, ps = [], []
+        while len(qs) < n:
+            q, p = self.pair()
+            qs.append(q)
+            ps.append(p)
+        return qs, ps
+
+
+def batch_iterator(
+    tokenizer,
+    batch_size: int,
+    seq_len: int,
+    seed: int = 0,
+    hypernym_fraction: float = 0.3,
+):
+    """Infinite iterator of tokenized InfoNCE batches for models/train.py."""
+    sampler = PairSampler(seed=seed, hypernym_fraction=hypernym_fraction)
+
+    def tokenize(texts):
+        enc = tokenizer(texts, max_length=seq_len)
+        ids = np.asarray(
+            [e + [1] * (seq_len - len(e)) for e in enc["input_ids"]],
+            dtype=np.int32,
+        )[:, :seq_len]
+        mask = np.asarray(
+            [m + [0] * (seq_len - len(m)) for m in enc["attention_mask"]],
+            dtype=np.int32,
+        )[:, :seq_len]
+        return ids, mask
+
+    while True:
+        qs, ps = sampler.batch_texts(batch_size)
+        q_ids, q_mask = tokenize(qs)
+        p_ids, p_mask = tokenize(ps)
+        yield {
+            "q_ids": q_ids,
+            "q_mask": q_mask,
+            "p_ids": p_ids,
+            "p_mask": p_mask,
+        }

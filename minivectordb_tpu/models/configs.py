@@ -44,6 +44,13 @@ FALLBACK_BGE_M3 = EncoderConfig(
 BUILTIN_512 = EncoderConfig(
     vocab_size=FALLBACK_VOCAB, hidden=512, layers=4, heads=8, intermediate=1024
 )
+# The BUNDLED trained builtin encoder (models/train_builtin.py): compact
+# enough to ship as package data (~9 MB f16, vs the reference's ~70 MB ONNX
+# blob, reference setup.py:45-47). vocab layout is WordVocabTokenizer's:
+# 4 specials + the curated corpus words + hashed OOV buckets.
+TRAINED_BUILTIN = EncoderConfig(
+    vocab_size=4096, hidden=512, layers=2, heads=8, intermediate=1024
+)
 
 HF_MODEL_NAMES = {
     "small": "intfloat/multilingual-e5-small",

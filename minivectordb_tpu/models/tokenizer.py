@@ -42,6 +42,45 @@ class HashTokenizer:
         return {"input_ids": input_ids, "attention_mask": attention_mask}
 
 
+class WordVocabTokenizer:
+    """Exact word vocabulary + hashed OOV buckets.
+
+    The bundled trained builtin encoder (models/train_builtin.py) uses this:
+    every word it was trained on gets a DEDICATED id (no hash collisions
+    between trained concepts), and unknown words spread over the remaining
+    id range via murmur3 so arbitrary user text still embeds. Layout:
+    [0..3] specials, [4 .. 4+len(words)) the vocabulary in list order,
+    [4+len(words) .. vocab_size) OOV buckets.
+    """
+
+    def __init__(self, words: list[str], vocab_size: int):
+        self.vocab_size = vocab_size
+        self.words = list(words)
+        self._index = {w: 4 + i for i, w in enumerate(self.words)}
+        self._oov_base = 4 + len(self.words)
+        self._oov_range = vocab_size - self._oov_base
+        if self._oov_range <= 0:
+            raise ValueError("vocab_size too small for word list")
+
+    def _id(self, tok: str) -> int:
+        known = self._index.get(tok)
+        if known is not None:
+            return known
+        h = murmur3_32(tok.encode("utf-8"))
+        return self._oov_base + (h % self._oov_range)
+
+    def encode(self, text: str, max_length: int = 512) -> list[int]:
+        ids = [BOS_ID]
+        for tok in _WORD_RE.findall(text.lower()):
+            ids.append(self._id(tok))
+            if len(ids) >= max_length - 1:
+                break
+        ids.append(EOS_ID)
+        return ids
+
+    __call__ = HashTokenizer.__call__
+
+
 class HFTokenizer:
     """Thin adapter over a transformers fast tokenizer."""
 

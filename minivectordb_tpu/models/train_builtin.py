@@ -1,0 +1,238 @@
+"""Train the bundled builtin-512 encoder and emit its package-data artifact.
+
+The reference's default EmbeddingModel is a pretrained quantized USE shipped
+as package data (reference setup.py:45-47, embedding_model.py:37-48). That
+blob is not redistributable and this build environment has no network, so
+the builtin slot's semantic capability is trained HERE: InfoNCE over the
+concept-graph corpus (models/builtin_data.py) with the framework's own
+training stack (models/train.py), on whatever backend `jax` is running
+(single TPU chip or CPU).
+
+Usage:
+    python -m minivectordb_tpu.models.train_builtin \
+        [--steps 4000] [--batch 256] [--out minivectordb_tpu/resources/builtin]
+
+The artifact directory holds params.npz (float16) + config.json (the
+models/convert.py converted-artifact format) + vocab.json (the
+WordVocabTokenizer word list). EmbeddingModel auto-loads it for the builtin
+slot when present (embedding_model.py), which is what activates the ported
+reference semantic suite (tests/test_semantic.py).
+
+The probe gate reproduces the reference's semantic assertions
+(reference tests/test_vector_database.py:195-218, :272-323) plus held-out
+generalization checks; the artifact is only written when every probe passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from minivectordb_tpu.models import builtin_data
+from minivectordb_tpu.models.configs import TRAINED_BUILTIN
+from minivectordb_tpu.models.convert import save_converted
+from minivectordb_tpu.models.encoder import embed_program, init_params
+from minivectordb_tpu.models.tokenizer import WordVocabTokenizer
+
+
+def make_tokenizer() -> WordVocabTokenizer:
+    return WordVocabTokenizer(
+        builtin_data.word_list(), TRAINED_BUILTIN.vocab_size
+    )
+
+
+def _embed(params, tok, texts: list[str], seq: int = 32) -> np.ndarray:
+    enc = tok(texts, max_length=seq)
+    ids = np.asarray(
+        [e + [1] * (seq - len(e)) for e in enc["input_ids"]], dtype=np.int32
+    )[:, :seq]
+    mask = np.asarray(
+        [m + [0] * (seq - len(m)) for m in enc["attention_mask"]],
+        dtype=np.int32,
+    )[:, :seq]
+    out = embed_program(
+        params, TRAINED_BUILTIN, ids, mask, "mean"
+    )
+    return np.asarray(out)
+
+
+def _autocut_keep(scores_desc: list[float]) -> int:
+    """How many results the reference's autocut keeps (>20% sharpest drop,
+    reference vector_database.py:443-464)."""
+    drops = [
+        (scores_desc[i - 1] - scores_desc[i]) / scores_desc[i - 1]
+        for i in range(1, len(scores_desc))
+    ]
+    mx = max(drops)
+    return (drops.index(mx) + 1) if mx > 0.2 else len(scores_desc)
+
+
+def run_probes(params, tok, log=print) -> dict:
+    """Reference-contract probes + generalization metrics."""
+    res: dict = {}
+    corpus = [
+        "i like animals",
+        "i like cars",
+        "i like programming",
+        "technology is the future",
+    ]
+    emb = _embed(params, tok, corpus)
+
+    def scores(q: str) -> np.ndarray:
+        qv = _embed(params, tok, [q])[0]
+        return emb @ qv
+
+    # reference tests/test_vector_database.py:195-218 — "dogs" -> "animals"
+    s = scores("i like dogs")[:3]
+    res["dogs_top1_animals"] = bool(np.argmax(s) == 0)
+
+    # :272-296 — "cars and animals" retrieves both in the top-2 of 4
+    s = scores("cars and animals")
+    res["cars_animals_top2"] = set(np.argsort(-s)[:2].tolist()) == {0, 1}
+
+    # :297-309 — autocut keeps ONLY "technology is the future"
+    s = scores("technology rocks")
+    order = np.argsort(-s)
+    kept = _autocut_keep(s[order].tolist())
+    res["autocut_tech_only"] = bool(order[0] == 3 and kept == 1)
+    res["autocut_tech_margin"] = float(
+        (s[order[0]] - s[order[1]]) / max(s[order[0]], 1e-9)
+    )
+
+    # :311-323 — multi-topic query keeps all four
+    s = scores("animals, cars, programming, technology")
+    kept = _autocut_keep(np.sort(s)[::-1].tolist())
+    res["autocut_keeps_all"] = bool(kept == 4)
+    res["autocut_min_score_ratio"] = float(np.min(s) / np.max(s))
+
+    # generalization: held-out templates, member -> same-group synonym
+    # ranked against distractors from other categories
+    rng = np.random.default_rng(123)
+    cats = list(builtin_data.CONCEPTS)
+    n_trials, hits = 200, 0
+    for _ in range(n_trials):
+        cat = cats[rng.integers(len(cats))]
+        _, groups = builtin_data.CONCEPTS[cat]
+        g = groups[rng.integers(len(groups))]
+        a = g[rng.integers(len(g))]
+        b = g[rng.integers(len(g))]
+        et = builtin_data.EVAL_TEMPLATES
+        q = et[rng.integers(len(et))].format(a)
+        pos = et[rng.integers(len(et))].format(b)
+        distractors = []
+        while len(distractors) < 15:
+            c2 = cats[rng.integers(len(cats))]
+            if c2 == cat:
+                continue
+            _, g2s = builtin_data.CONCEPTS[c2]
+            g2 = g2s[rng.integers(len(g2s))]
+            w2 = g2[rng.integers(len(g2))]
+            distractors.append(et[rng.integers(len(et))].format(w2))
+        cand = _embed(params, tok, [pos] + distractors)
+        qv = _embed(params, tok, [q])[0]
+        if int(np.argmax(cand @ qv)) == 0:
+            hits += 1
+    res["heldout_synonym_acc"] = hits / n_trials
+
+    # hypernym sweep: "i like {member}" must pick its own category sentence
+    hits, total = 0, 0
+    cat_sents = ["i like " + builtin_data.CONCEPTS[c][0][1] for c in cats]
+    cat_emb = _embed(params, tok, cat_sents)
+    for ci, cat in enumerate(cats):
+        _, groups = builtin_data.CONCEPTS[cat]
+        for g in groups:
+            qv = _embed(params, tok, ["i like " + g[0]])[0]
+            total += 1
+            if int(np.argmax(cat_emb @ qv)) == ci:
+                hits += 1
+    res["hypernym_acc"] = hits / total
+
+    for k, v in res.items():
+        log(f"  probe {k}: {v}")
+    return res
+
+
+GATES = {
+    "dogs_top1_animals": True,
+    "cars_animals_top2": True,
+    "autocut_tech_only": True,
+    "autocut_keeps_all": True,
+}
+THRESHOLDS = {"heldout_synonym_acc": 0.85, "hypernym_acc": 0.80}
+
+
+def probes_pass(res: dict) -> bool:
+    return all(res[k] == v for k, v in GATES.items()) and all(
+        res[k] >= t for k, t in THRESHOLDS.items()
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--seq", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__), "..", "resources", "builtin"
+        ),
+    )
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--force", action="store_true",
+                    help="write the artifact even if probes fail")
+    args = ap.parse_args(argv)
+
+    from minivectordb_tpu.models.train import train_loop
+
+    tok = make_tokenizer()
+    params = init_params(TRAINED_BUILTIN, seed=args.seed)
+    batches = builtin_data.batch_iterator(
+        tok, args.batch, args.seq, seed=args.seed
+    )
+    print(
+        f"training builtin-512 ({TRAINED_BUILTIN.layers}L/"
+        f"{TRAINED_BUILTIN.hidden}H, vocab {TRAINED_BUILTIN.vocab_size}) "
+        f"for {args.steps} steps on {jax.default_backend()}"
+    )
+    params, _opt, _hist = train_loop(
+        TRAINED_BUILTIN,
+        params,
+        batches,
+        steps=args.steps,
+        learning_rate=args.lr,
+        checkpoint_path=args.checkpoint,
+        log_every=200,
+    )
+    params = jax.tree.map(lambda x: np.asarray(x), params)
+
+    print("probes:")
+    res = run_probes(params, tok)
+    ok = probes_pass(res)
+    print(f"probe gate: {'PASS' if ok else 'FAIL'}")
+    if not ok and not args.force:
+        return 1
+
+    out = os.path.abspath(args.out)
+    params_f16 = jax.tree.map(lambda x: x.astype(np.float16), params)
+    save_converted(params_f16, TRAINED_BUILTIN, out)
+    with open(os.path.join(out, "vocab.json"), "w") as f:
+        json.dump({"format": "word-vocab-v1", "words": tok.words}, f)
+    with open(os.path.join(out, "probes.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    size = sum(
+        os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
+    )
+    print(f"artifact written to {out} ({size / 1e6:.1f} MB)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

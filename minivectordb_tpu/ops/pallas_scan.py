@@ -40,14 +40,20 @@ SUBTILE = 32  # rows per max-reduce group
 _PHASE3_CHUNK = 64  # queries per phase-3 gather step
 
 
-def _row_tile(d: int) -> int:
+def _row_tile(d: int, c: int | None = None) -> int:
     """Rows per grid step, sized so one buffer block stays ~<=2 MB of VMEM
     (double buffering + q + outputs must fit in ~16 MB). Always a multiple
-    of 256 so the output block keeps whole sublanes."""
-    for tile in (4096, 2048, 1024, 512):
-        if tile * d * 4 <= (2 << 20):
-            return tile
-    return 256
+    of 256 so the output block keeps whole sublanes. With `c` (total rows,
+    a power of two), the tile is clamped to c so small per-shard buffers
+    (mesh-sharded corpora) stay eligible."""
+    tile = 256
+    for t in (4096, 2048, 1024, 512):
+        if t * d * 4 <= (2 << 20):
+            tile = t
+            break
+    if c is not None:
+        tile = min(tile, c)
+    return tile
 def _phase1_kernel_int8(*refs, has_mask):
     """Int8 variant of the phase-1 kernel: int8 x int8 matmul with int32
     accumulation on the MXU (4x the f32 arithmetic rate and a quarter of
@@ -126,7 +132,7 @@ def subtile_maxima(buf, inv_norms, q, count, mask=None):
     Returns (C/SUBTILE, B) f32."""
     c, d = buf.shape
     b = q.shape[0]
-    row_tile = _row_tile(d)
+    row_tile = _row_tile(d, c)
     assert c % row_tile == 0, (c, row_tile)
     tiles = c // row_tile
     out_rows = row_tile // SUBTILE
@@ -172,7 +178,7 @@ def _subtile_maxima_int8(buf_i8, inv_norms_i8, qi, q_inv, count, mask=None):
     Returns (C/SUBTILE, B) f32 subtile maxima of int8-cosine scores."""
     c, d = buf_i8.shape
     b = qi.shape[0]
-    row_tile = _row_tile(d)
+    row_tile = _row_tile(d, c)
     assert c % row_tile == 0, (c, row_tile)
     tiles = c // row_tile
     out_rows = row_tile // SUBTILE

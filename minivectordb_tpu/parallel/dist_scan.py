@@ -29,7 +29,8 @@ from minivectordb_tpu.parallel.mesh import SHARD_AXIS
 _MASKED_SCORE = np.float32(-3.0e38)
 
 
-def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None):
+def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None,
+                      use_pallas=False):
     """Runs per device under shard_map. buf: (C/n, d) local rows.
 
     ``k`` is the per-shard candidate count (capped at local rows);
@@ -39,12 +40,34 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None):
 
     An int8 ``buf`` runs the usearch-equivalent quantized cosine per shard
     (query symmetric-quantized in-body, int32-accumulated MXU dot — the
-    same math as ops/scan.py:scan_topk_int8)."""
+    same math as ops/scan.py:scan_topk_int8).
+
+    ``use_pallas`` routes the local scan through the two-phase Pallas
+    kernels (ops/pallas_scan.py) — the shard-local analog of the
+    single-chip fast path: phase-1 subtile maxima never materialize the
+    (B, local_rows) score matrix, so per-chip HBM traffic drops ~32x
+    before the ICI all-gather merge."""
     local_rows = buf.shape[0]
     shard = jax.lax.axis_index(SHARD_AXIS)
     row_base = shard * local_rows
 
-    if buf.dtype == jnp.int8:
+    if use_pallas:
+        from minivectordb_tpu.ops.pallas_scan import (
+            pallas_scan_topk,
+            pallas_scan_topk_int8,
+        )
+
+        count_local = jnp.clip(count - row_base, 0, local_rows)
+        if buf.dtype == jnp.int8:
+            lvals, lidx = pallas_scan_topk_int8(
+                buf, inv_norms, q.astype(jnp.float32), count_local, k, mask
+            )
+        else:
+            lvals, lidx = pallas_scan_topk(
+                buf, inv_norms, q.astype(jnp.float32), count_local, k, mask
+            )
+        lgidx = lidx + row_base
+    elif buf.dtype == jnp.int8:
         qf = q.astype(jnp.float32)
         qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
         qscale = jnp.maximum(qmax, 1e-30) / 127.0
@@ -72,14 +95,17 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None):
             else None,
         )
         scores = scores * inv_norms[None, :]
-    gids = row_base + jax.lax.broadcasted_iota(jnp.int32, (1, local_rows), 1)
-    valid = gids < count
-    if mask is not None:
-        valid = jnp.logical_and(valid, mask[None, :])
-    scores = jnp.where(valid, scores, _MASKED_SCORE)
+    if not use_pallas:
+        gids = row_base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, local_rows), 1
+        )
+        valid = gids < count
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask[None, :])
+        scores = jnp.where(valid, scores, _MASKED_SCORE)
 
-    lvals, lidx = topk_last_axis(scores, k)  # (B, k) local
-    lgidx = lidx.astype(jnp.int32) + row_base
+        lvals, lidx = topk_last_axis(scores, k)  # (B, k) local
+        lgidx = lidx.astype(jnp.int32) + row_base
 
     # ICI all-gather of per-shard winners, then a merge top-k on every chip.
     all_vals = jax.lax.all_gather(lvals, SHARD_AXIS, axis=0)  # (n, B, k)
@@ -93,9 +119,15 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None):
     return mvals, midx
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "k_final", "has_mask"))
-def _dist_scan(mesh: Mesh, buf, inv_norms, q, count, mask, k, k_final, has_mask):
-    fn = functools.partial(_local_scan_merge, k=k, k_final=k_final)
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "k_final", "has_mask", "use_pallas"),
+)
+def _dist_scan(mesh: Mesh, buf, inv_norms, q, count, mask, k, k_final,
+               has_mask, use_pallas=False):
+    fn = functools.partial(
+        _local_scan_merge, k=k, k_final=k_final, use_pallas=use_pallas
+    )
 
     def wrapped(buf, inv_norms, q, count, mask):
         return fn(buf, inv_norms, q, count, mask if has_mask else None)
@@ -125,13 +157,21 @@ class DistributedScanIndex:
     tracking stays in the single-chip store.)
     """
 
-    def __init__(self, mesh: Mesh, dim: int, device_dtype: str = "float32"):
+    def __init__(self, mesh: Mesh, dim: int, device_dtype: str = "float32",
+                 search_impl: str = "auto"):
+        """search_impl: 'auto' routes the per-shard scan through the Pallas
+        two-phase kernel on TPU when the local shard is large enough (same
+        crossover heuristics as the single-chip store), 'pallas'/'xla' force
+        one path (tests force 'pallas' on the CPU mesh via interpret mode)."""
         if device_dtype == "mixed":
             device_dtype = "float32"  # the bf16 shadow trick is Pallas-only
+        if search_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"Unknown search_impl: {search_impl}")
         self.mesh = mesh
         self.dim = dim
         self.n = mesh.devices.size
         self.device_dtype = device_dtype
+        self.search_impl = search_impl
         self.count = 0
         self._buf = None
         self._inv_norms = None
@@ -224,7 +264,7 @@ class DistributedScanIndex:
         tear a search in progress."""
         snap = DistSnapshot(
             self.mesh, self.n, self._buf, self._inv_norms, self.count,
-            self._capacity,
+            self._capacity, self.search_impl,
         )
         self._snap_refs.append(weakref.ref(snap))
         return snap
@@ -235,15 +275,42 @@ class DistributedScanIndex:
 
 class DistSnapshot:
     __slots__ = ("mesh", "n", "buf", "inv_norms", "count", "capacity",
-                 "__weakref__")
+                 "search_impl", "__weakref__")
 
-    def __init__(self, mesh, n, buf, inv_norms, count, capacity):
+    def __init__(self, mesh, n, buf, inv_norms, count, capacity,
+                 search_impl="auto"):
         self.mesh = mesh
         self.n = n
         self.buf = buf
         self.inv_norms = inv_norms
         self.count = count
         self.capacity = capacity
+        self.search_impl = search_impl
+
+    def _use_pallas(self, batch: int, k_local: int) -> bool:
+        """Mirror of core/store.py:StoreSnapshot._use_pallas for the
+        per-shard scan: the kernel needs local rows in whole 256-row tiles;
+        'auto' keeps the measured batch>=16 crossover and TPU-only routing."""
+        import os
+
+        local_rows = self.capacity // self.n
+        from minivectordb_tpu.ops.pallas_scan import _row_tile
+
+        eligible = (
+            local_rows >= 256
+            and local_rows % _row_tile(self.buf.shape[1], local_rows) == 0
+        )
+        if not eligible or os.environ.get("MINIVECTORDB_TPU_DISABLE_PALLAS"):
+            return False
+        if self.search_impl == "pallas":
+            return True
+        if self.search_impl == "xla":
+            return False
+        return (
+            batch >= 16
+            and local_rows >= 4096
+            and jax.default_backend() != "cpu"
+        )
 
     def search(self, queries: np.ndarray, k: int, mask: np.ndarray | None = None):
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
@@ -273,5 +340,6 @@ class DistSnapshot:
             kb_local,
             k_final,
             has_mask,
+            self._use_pallas(q.shape[0], kb_local),
         )
         return np.asarray(vals)[:, :k], np.asarray(idx)[:, :k]

@@ -55,3 +55,31 @@ def test_distributed_scan_with_mask():
     oracle = (mat @ qn) / np.linalg.norm(mat, axis=1)
     order = sorted(allowed, key=lambda r: -oracle[r])[:5]
     np.testing.assert_array_equal(idx[0], order)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_distributed_scan_pallas_impl_matches_xla(dtype):
+    """The Pallas per-shard scan inside shard_map (interpret mode on the CPU
+    mesh) must agree with the XLA per-shard path: exact for f32, identical
+    quantized scores for int8."""
+    from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
+    from minivectordb_tpu.parallel.mesh import search_mesh
+
+    mesh = search_mesh(8)
+    rng = np.random.default_rng(7)
+    n, d, k = 3000, 32, 8  # capacity 4096 -> 512 local rows per device
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    mask = rng.random(n) < 0.5
+
+    ref = DistributedScanIndex(mesh, d, device_dtype=dtype, search_impl="xla")
+    ref.load(mat)
+    pal = DistributedScanIndex(mesh, d, device_dtype=dtype,
+                               search_impl="pallas")
+    pal.load(mat)
+
+    for m in (None, mask):
+        rv, ri = ref.search(queries, k, mask=m)
+        pv, pi = pal.search(queries, k, mask=m)
+        np.testing.assert_array_equal(ri, pi)
+        np.testing.assert_allclose(rv, pv, rtol=1e-5, atol=1e-5)
