@@ -55,9 +55,10 @@ class SearchEngine:
         self._version = 0  # bumped on every mutation
         # IVF index lifecycle (index='ivf'): lazily built at build_threshold
         # rows, incremental inserts overflow to a small exact side-buffer,
-        # rebuilt when the overflow passes rebuild_frac of the indexed rows;
-        # deletes invalidate (row compaction shifts the stored global ids).
-        # Mirrors the reference's index-as-DB-internal lifecycle
+        # rebuilt when the overflow OR the deletes' dead slots pass
+        # rebuild_frac of the indexed rows; deletes tombstone + remap the id
+        # table in place (ops/ivf.py:delete_rows), keeping the trained
+        # k-means. Mirrors the reference's index-as-DB-internal lifecycle
         # (reference vector_database.py:42-47, 477-479).
         self.index_kind = index
         self.ivf_opts = {
@@ -66,6 +67,7 @@ class SearchEngine:
             "iters": 10,
             "build_threshold": 50_000,
             "rebuild_frac": 0.2,
+            "rebuild_floor": 1024,  # min stale rows before a rebuild fires
             "lists_dtype": "float32",
             **(ivf_opts or {}),
         }
@@ -73,6 +75,7 @@ class SearchEngine:
         self._ivf_built_count = 0
         self._ivf_overflow = None  # VectorStore over rows added post-build
         self._ivf_pending_state = None  # persisted layout awaiting reattach
+        self._ivf_dead_slots = 0  # tombstoned slots since the last build
         self.embedding_size: int | None = None
         self.store: VectorStore | None = None
         self.uids: list = []  # row -> unique id
@@ -180,8 +183,7 @@ class SearchEngine:
         self.uids = new_uids
         self.metadata = new_metadata
         self.inverse_id_map = {uid: i for i, uid in enumerate(new_uids)}
-        # row compaction shifts the global ids stored in the IVF layout
-        self._invalidate_ivf()
+        self._on_rows_deleted(rows)
         self._version += 1
 
     def get_row(self, unique_id) -> np.ndarray:
@@ -205,6 +207,33 @@ class SearchEngine:
         self._ivf_built_count = 0
         self._ivf_overflow = None
         self._ivf_pending_state = None
+        self._ivf_dead_slots = 0
+
+    def _on_rows_deleted(self, rows: list[int]) -> None:
+        """Row compaction shifted every global id above a deleted row; keep
+        the IVF index alive by tombstoning + remapping its id table in place
+        (ops/ivf.py:delete_rows) instead of discarding the trained k-means.
+        Dead slots accumulate until the rebuild policy in _ensure_ivf fires.
+        The mesh-sharded IVF keeps full invalidation (its lists live
+        resharded across chips)."""
+        if self._ivf is None and self._ivf_pending_state is None:
+            return
+        if self.mesh is not None:
+            self._invalidate_ivf()
+            return
+        from minivectordb_tpu.ops.ivf import IVFIndex
+
+        if self._ivf is not None:
+            n_del = self._ivf.delete_rows(rows)
+            self._ivf_built_count -= n_del
+            # overflow rows shifted too — rebuild the overflow store from
+            # the compacted suffix (small by the rebuild policy)
+            self._start_overflow(self._ivf_built_count)
+        else:
+            # pending persisted layout: same remap on the host state dict
+            # (built_count is derived from its count at attach time)
+            n_del = IVFIndex.state_after_deletes(self._ivf_pending_state, rows)
+        self._ivf_dead_slots += n_del
 
     def ivf_state(self) -> dict | None:
         """Persistable IVF layout (centroids + slot maps; the packed list
@@ -221,6 +250,7 @@ class SearchEngine:
             self._ivf_built_count = 0
             self._ivf_overflow = None
             self._ivf_pending_state = state
+            self._ivf_dead_slots = 0
 
     def _start_overflow(self, built: int) -> None:
         self._ivf_overflow = VectorStore(self.embedding_size, "float32")
@@ -248,8 +278,9 @@ class SearchEngine:
                 self._ivf_built_count = st["count"]
                 self._start_overflow(st["count"])
         overflow_rows = self.count - self._ivf_built_count
-        if self._ivf is not None and overflow_rows <= max(
-            1024, opts["rebuild_frac"] * self._ivf_built_count
+        stale = overflow_rows + self._ivf_dead_slots
+        if self._ivf is not None and stale <= max(
+            opts["rebuild_floor"], opts["rebuild_frac"] * self._ivf_built_count
         ):
             return
         buf, inv, count = self.store.sync()
@@ -263,6 +294,7 @@ class SearchEngine:
             ivf.build(buf, count=count, inv_norms=inv)
         self._ivf = self._wrap_ivf(ivf)
         self._ivf_built_count = count
+        self._ivf_dead_slots = 0
         self._start_overflow(count)
 
     def _wrap_ivf(self, ivf):

@@ -134,6 +134,21 @@ def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
     return jax.lax.map(one, qn)
 
 
+def _remap_ids_for_deletes(ids, valid, rows, count):
+    """Shared tombstone+remap core: returns (ids, valid, n_deleted)."""
+    rows = np.asarray(sorted(set(int(r) for r in rows)), dtype=np.int64)
+    rows = rows[rows < count]
+    if rows.size == 0:
+        return ids, valid, 0
+    doomed = valid & np.isin(ids, rows)
+    valid = valid & ~doomed
+    # compacted id = id - (# deleted rows below it); only live slots
+    # matter (dead slots keep stale ids, never read past the mask)
+    shift = np.searchsorted(rows, ids, side="left").astype(ids.dtype)
+    ids = np.where(valid, ids - shift, ids)
+    return ids, valid, int(rows.size)
+
+
 class IVFIndex:
     """Cluster-major padded IVF-flat index over a fixed corpus snapshot.
 
@@ -153,6 +168,10 @@ class IVFIndex:
         self._list_ids = None
         self._list_valid = None
         self.pad_len = 0
+        # count: live vectors == the corpus row-prefix length this index
+        # references (each live prefix row occupies exactly one valid slot,
+        # an invariant delete_rows preserves). Dead slots accumulate in the
+        # packed lists until the owner's rebuild policy triggers.
         self.count = 0
 
     def _lists_dtype(self):
@@ -271,6 +290,43 @@ class IVFIndex:
         self._lists = lists_flat.reshape(nlist, pad, d)
         self._list_ids = jnp.asarray(list_ids.reshape(nlist, pad))
         self._list_valid = jnp.asarray(valid.reshape(nlist, pad))
+
+    def delete_rows(self, rows) -> int:
+        """Tombstone deleted global rows in place and remap the surviving
+        slot ids to their post-compaction positions. Returns the number of
+        rows tombstoned (rows >= count are ignored — they were never in the
+        index).
+
+        The owning database compacts its row matrix on delete (mirroring
+        reference vector_database.py:126), shifting every global id above a
+        deleted row down by the number of deletions below it. Remapping the
+        (nlist, P) id table (pure int32 host work) keeps the trained
+        centroids and the packed list tensor valid — the dead slots' stale
+        vectors are masked by list_valid at probe time — so a delete no
+        longer forces a full k-means rebuild (round-2 known gap)."""
+        ids, valid, n_del = _remap_ids_for_deletes(
+            np.asarray(self._list_ids), np.asarray(self._list_valid),
+            rows, self.count,
+        )
+        if n_del:
+            self._list_ids = jnp.asarray(ids)
+            self._list_valid = jnp.asarray(valid)
+            self.count -= n_del
+        return n_del
+
+    @staticmethod
+    def state_after_deletes(state: dict, rows) -> int:
+        """delete_rows for a persisted (not yet attached) state dict —
+        mutates list_ids/list_valid/count in place; returns rows removed."""
+        ids, valid, n_del = _remap_ids_for_deletes(
+            np.asarray(state["list_ids"]), np.asarray(state["list_valid"]),
+            rows, int(state["count"]),
+        )
+        if n_del:
+            state["list_ids"] = ids
+            state["list_valid"] = valid
+            state["count"] = int(state["count"]) - n_del
+        return n_del
 
     # -- persistence ---------------------------------------------------------
 

@@ -114,18 +114,93 @@ def test_ivf_rebuild_folds_overflow_in():
     assert eng._ivf_overflow.count == 0
 
 
-def test_ivf_delete_invalidates_then_rebuilds():
+def test_ivf_delete_tombstones_in_place():
+    """Deletes must NOT discard the trained index: the id table is
+    tombstoned + remapped in place (ops/ivf.py:delete_rows), deleted ids
+    never come back, and survivors keep exact results under the
+    compacted row numbering."""
     db = _ivf_db(_tmpfile(), ivf_opts={**_IVF_OPTS, "build_threshold": 16,
                                        "nlist": 4})
     mat = _build_corpus(64)
     db.store_embeddings_batch(list(range(64)), mat)
     db.find_most_similar(mat[0], k=1)
-    assert db._engine._ivf is not None
+    ivf_obj = db._engine._ivf
+    assert ivf_obj is not None
     db.delete_embedding(0)
-    assert db._engine._ivf is None, "delete must invalidate (rows shift)"
-    ids, _, metas = db.find_most_similar(mat[5], k=3)
-    assert ids[0] == 5  # rebuilt index maps compacted rows correctly
-    assert db._engine._ivf is not None
+    db.delete_embedding(17)
+    assert db._engine._ivf is ivf_obj, "delete must keep the trained index"
+    ids, _, metas = db.find_most_similar(mat[5], k=5)
+    assert ids[0] == 5  # remapped ids resolve to the right uids
+    assert 0 not in ids and 17 not in ids
+    # every survivor is still findable as its own nearest neighbor
+    for probe in (1, 16, 18, 63):
+        ids, _, _ = db.find_most_similar(mat[probe], k=1)
+        assert ids[0] == probe
+
+
+def test_ivf_delete_of_overflow_rows_keeps_index():
+    """Deleting rows that live in the post-build overflow buffer must not
+    disturb the indexed prefix."""
+    db = _ivf_db(_tmpfile(), ivf_opts={**_IVF_OPTS, "build_threshold": 32,
+                                       "nlist": 4, "rebuild_frac": 10.0})
+    mat = _build_corpus(80)
+    db.store_embeddings_batch(list(range(48)), mat[:48])
+    db.find_most_similar(mat[0], k=1)  # builds over the first 48
+    ivf_obj = db._engine._ivf
+    built = db._engine._ivf_built_count
+    db.store_embeddings_batch(list(range(48, 80)), mat[48:])  # overflow
+    for uid in (60, 70):
+        db.delete_embedding(uid)
+    assert db._engine._ivf is ivf_obj
+    assert db._engine._ivf_built_count == built
+    ids, _, _ = db.find_most_similar(mat[75], k=1)
+    assert ids[0] == 75
+    ids, _, _ = db.find_most_similar(mat[60], k=2)
+    assert 60 not in ids
+
+
+def test_ivf_pending_state_survives_delete_before_first_search():
+    """Reload -> delete -> search: the persisted layout is remapped on the
+    host state dict and still attaches without retraining."""
+    path = _tmpfile()
+    db = _ivf_db(path, ivf_opts={**_IVF_OPTS, "build_threshold": 16,
+                                 "nlist": 4})
+    mat = _build_corpus(64)
+    db.store_embeddings_batch(list(range(64)), mat)
+    db.find_most_similar(mat[0], k=1)
+    db.persist_to_disk()
+
+    db2 = _ivf_db(path, ivf_opts={**_IVF_OPTS, "build_threshold": 16,
+                                  "nlist": 4})
+    assert db2._engine._ivf_pending_state is not None
+    db2.delete_embedding(3)
+    assert db2._engine._ivf_pending_state is not None
+    ids, _, _ = db2.find_most_similar(mat[10], k=3)
+    assert ids[0] == 10 and 3 not in ids
+    # attach happened from the remapped persisted layout, not a retrain
+    assert "ivf_build" not in db2._engine.telemetry.snapshot()
+
+
+def test_ivf_dead_slots_trigger_rebuild():
+    db = _ivf_db(_tmpfile(), ivf_opts={**_IVF_OPTS, "build_threshold": 16,
+                                       "nlist": 4, "rebuild_frac": 0.25,
+                                       "rebuild_floor": 8})
+    mat = _build_corpus(64)
+    db.store_embeddings_batch(list(range(64)), mat)
+    db.find_most_similar(mat[0], k=1)
+    eng = db._engine
+    old = eng._ivf
+    # small delete: below the policy, index kept
+    for uid in range(4):
+        db.delete_embedding(uid)
+    db.find_most_similar(mat[10], k=1)
+    assert eng._ivf is old
+    # mass delete: dead slots exceed rebuild_frac -> next search rebuilds
+    for uid in range(4, 40):
+        db.delete_embedding(uid)
+    db.find_most_similar(mat[50], k=1)
+    assert eng._ivf is not old
+    assert eng._ivf_dead_slots == 0
 
 
 def test_ivf_filtered_queries_fall_back_to_exact():
