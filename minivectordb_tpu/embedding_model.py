@@ -84,8 +84,47 @@ class _JaxEncoder:
         return np.asarray(out)[: len(texts)]
 
 
-def _load_encoder(kind: str) -> tuple[_JaxEncoder, bool]:
-    """kind in {'builtin', 'small', 'large', 'bgem3'} -> (encoder, pretrained?)."""
+_BUNDLED_BUILTIN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "resources", "builtin"
+)
+
+
+def _load_bundled_builtin() -> "_JaxEncoder | None":
+    """The trained builtin-512 artifact shipped as package data
+    (models/train_builtin.py) — the analog of the reference shipping its
+    quantized USE model inside the wheel (reference setup.py:45-47)."""
+    import json
+
+    try:
+        from minivectordb_tpu.models.convert import load_converted
+        from minivectordb_tpu.models.tokenizer import WordVocabTokenizer
+
+        params, cfg = load_converted(_BUNDLED_BUILTIN_DIR)
+        with open(os.path.join(_BUNDLED_BUILTIN_DIR, "vocab.json")) as f:
+            vocab = json.load(f)
+        if vocab.get("format") != "word-vocab-v1":
+            return None
+        import jax
+
+        params = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x, dtype=np.float32)), params
+        )
+        tok = WordVocabTokenizer(
+            vocab["words"], cfg.vocab_size,
+            drop_oov=bool(vocab.get("drop_oov", False)),
+        )
+        return _JaxEncoder(params, cfg, tok, "mean", "")
+    except FileNotFoundError:
+        return None
+    except Exception:
+        return None
+
+
+def _load_encoder(kind: str) -> tuple[_JaxEncoder, str]:
+    """kind in {'builtin', 'small', 'large', 'bgem3'} -> (encoder, source).
+
+    source: 'pretrained' (converted HF checkpoint), 'bundled-trained' (the
+    package-data builtin artifact), or 'seeded' (random fallback)."""
     pooling = "cls" if kind == "bgem3" else "mean"
     prefix = "passage " if kind in ("small", "large") else ""
     hf_name = model_configs.HF_MODEL_NAMES.get(kind)
@@ -100,9 +139,13 @@ def _load_encoder(kind: str) -> tuple[_JaxEncoder, bool]:
 
             params, cfg = load_pretrained(hf_name)
             tok, _ = load_tokenizer(hf_name, cfg.vocab_size)
-            return _JaxEncoder(params, cfg, tok, pooling, prefix), True
+            return _JaxEncoder(params, cfg, tok, pooling, prefix), "pretrained"
         except Exception:
             pass
+    if kind == "builtin":
+        enc = _load_bundled_builtin()
+        if enc is not None:
+            return enc, "bundled-trained"
     cfg = model_configs.FALLBACK_CONFIGS[kind]
     seed = model_configs.FALLBACK_SEEDS[kind]
     params = init_params(cfg, seed)
@@ -113,7 +156,7 @@ def _load_encoder(kind: str) -> tuple[_JaxEncoder, bool]:
         "no semantic quality). Set MINIVECTORDB_TPU_WEIGHTS or populate the "
         "HF cache to enable pretrained embeddings."
     )
-    return _JaxEncoder(params, cfg, tok, pooling, prefix), False
+    return _JaxEncoder(params, cfg, tok, pooling, prefix), "seeded"
 
 
 class EmbeddingModel:
@@ -149,12 +192,26 @@ class EmbeddingModel:
     # -- loading (names preserved from the reference) ----------------------
 
     def load_onnx_model(self) -> None:
-        self.model, self.is_pretrained = _load_encoder("builtin")
+        self.model, self.weights_source = _load_encoder("builtin")
         self._maybe_cast()
 
     def load_alternative_model(self) -> None:
-        self.model, self.is_pretrained = _load_encoder(self.alternative_model.value)
+        self.model, self.weights_source = _load_encoder(
+            self.alternative_model.value
+        )
         self._maybe_cast()
+
+    @property
+    def is_pretrained(self) -> bool:
+        """True when converted HF checkpoint weights loaded."""
+        return self.weights_source == "pretrained"
+
+    @property
+    def is_trained(self) -> bool:
+        """True when the encoder carries real semantic signal — converted
+        HF weights or the bundled trained builtin artifact (vs the seeded
+        random fallback)."""
+        return self.weights_source in ("pretrained", "bundled-trained")
 
     def _maybe_cast(self) -> None:
         if self.compute_dtype == "bfloat16":

@@ -639,6 +639,23 @@ TEMPLATES = [
 ]
 
 
+# Multi-concept frames: a query mentioning several topics must stay
+# partially similar to EACH of them (the reference's multi-topic autocut
+# flow, reference tests/test_vector_database.py:311-323). Trained by pairing
+# a multi-concept rendering with a single-concept positive drawn from one of
+# its topics — without these, attention learns winner-take-all pooling and a
+# two-topic query collapses onto one topic.
+MULTI_TEMPLATES = [
+    "{} and {}",
+    "i like {} and {}",
+    "we talked about {} and {}",
+    "{}, {}",
+    "thoughts on {} and {}",
+    "a story about {} and {}",
+    "{}, {}, {}",
+    "{}, {}, {}, {}",
+]
+
 # Held out from training entirely — used by train_builtin.py's probes to
 # measure template generalization (composition, not memorization).
 EVAL_TEMPLATES = [
@@ -663,14 +680,23 @@ def vocabulary() -> list[tuple[str, str, int]]:
 
 
 def word_list() -> list[str]:
-    """The corpus vocabulary in deterministic order — the WordVocabTokenizer
-    id assignment the trained artifact is bound to."""
-    out, seen = [], set()
+    """The full trained vocabulary in deterministic order — concept surface
+    forms PLUS every template function word (and punctuation token), so the
+    bundled tokenizer can run with a CLOSED vocabulary (drop_oov=True):
+    every word the model ever trained on has a dedicated id, and unknown
+    user words are dropped rather than hash-aliased onto trained buckets."""
+    import re
+
+    seen = set()
     for form, _cat, _gi in vocabulary():
-        if form not in seen:
-            seen.add(form)
-            out.append(form)
-    return sorted(out)
+        seen.add(form)
+    word_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+    for t in TEMPLATES + MULTI_TEMPLATES:
+        rendered = t.format(*["x"] * t.count("{}"))
+        for tok in word_re.findall(rendered.lower()):
+            if tok != "x":
+                seen.add(tok)
+    return sorted(seen)
 
 
 class PairSampler:
@@ -681,33 +707,89 @@ class PairSampler:
     drawn independently per side so the model cannot latch onto frames.
     """
 
-    def __init__(self, seed: int = 0, hypernym_fraction: float = 0.3):
+    def __init__(self, seed: int = 0, hypernym_fraction: float = 0.3,
+                 multi_fraction: float = 0.3):
         self.rng = np.random.default_rng(seed)
         self.hypernym_fraction = hypernym_fraction
+        self.multi_fraction = multi_fraction
         self.cats = list(CONCEPTS)
+        # flat (category, group index) list for without-replacement batching
+        self.all_groups = [
+            (cat, gi)
+            for cat in self.cats
+            for gi in range(len(CONCEPTS[cat][1]))
+        ]
 
     def _render(self, form: str) -> str:
         t = TEMPLATES[self.rng.integers(len(TEMPLATES))]
         return t.format(form)
 
-    def pair(self) -> tuple[str, str]:
-        cat = self.cats[self.rng.integers(len(self.cats))]
+    def _pair_for_group(self, cat: str, gi: int, fillers: list[str],
+                        allow_hyper: bool = True):
+        """One (query, passage) positive for a specific concept group.
+        `fillers` supplies other-group words for multi-concept queries."""
         cat_forms, groups = CONCEPTS[cat]
-        gi = int(self.rng.integers(len(groups)))
         group = groups[gi]
         a = group[self.rng.integers(len(group))]
-        if self.rng.random() < self.hypernym_fraction:
+        hyper = allow_hyper and self.rng.random() < self.hypernym_fraction
+        if hyper:
+            # category word stays on the PASSAGE side: the contract is
+            # query=member retrieves passage=category ("i like dogs" ->
+            # "i like animals"); a category word on the query side would act
+            # as a hard negative against every sibling group's passage
             b = cat_forms[self.rng.integers(len(cat_forms))]
+        elif len(group) > 1:
+            # force a DIFFERENT surface form — the synonym/plural signal
+            others = [w for w in group if w != a]
+            b = others[self.rng.integers(len(others))]
         else:
-            b = group[self.rng.integers(len(group))]
-        if self.rng.random() < 0.5:
+            b = a
+        if fillers and self.rng.random() < self.multi_fraction:
+            t = MULTI_TEMPLATES[self.rng.integers(len(MULTI_TEMPLATES))]
+            n_slots = t.count("{}")
+            slots = [
+                fillers[self.rng.integers(len(fillers))]
+                for _ in range(n_slots - 1)
+            ]
+            slots.insert(int(self.rng.integers(n_slots)), a)
+            return t.format(*slots), self._render(b)
+        if not hyper and self.rng.random() < 0.5:
             a, b = b, a
         return self._render(a), self._render(b)
 
+    def pair(self) -> tuple[str, str]:
+        cat, gi = self.all_groups[self.rng.integers(len(self.all_groups))]
+        return self._pair_for_group(cat, gi, [])
+
     def batch_texts(self, n: int) -> tuple[list[str], list[str]]:
+        """One positive pair per DISTINCT concept group.
+
+        InfoNCE treats every other in-batch passage as a negative; sampling
+        groups WITH replacement makes ~15% of a 256-batch share a group with
+        another item, so the loss actively pushes same-concept renderings
+        apart — direct anti-synonym pressure. Without-replacement sampling
+        removes that label noise. Multi-concept filler words are drawn from
+        the groups NOT in the batch for the same reason."""
+        idx = self.rng.permutation(len(self.all_groups))
+        take = idx[: min(n, len(self.all_groups))]
+        rest = idx[len(take):]
+        fillers = []
+        for j in rest[:64]:
+            cat, gi = self.all_groups[j]
+            group = CONCEPTS[cat][1][gi]
+            fillers.append(group[self.rng.integers(len(group))])
         qs, ps = [], []
+        # a category word may appear in at most ONE passage per batch —
+        # otherwise a second group's hypernym passage is a hard negative for
+        # the first (anti-hypernym pressure)
+        hyper_used: set[str] = set()
         while len(qs) < n:
-            q, p = self.pair()
+            cat, gi = self.all_groups[take[len(qs) % len(take)]]
+            q, p = self._pair_for_group(
+                cat, gi, fillers, allow_hyper=cat not in hyper_used
+            )
+            if any(f in p.split() for f in CONCEPTS[cat][0]):
+                hyper_used.add(cat)
             qs.append(q)
             ps.append(p)
         return qs, ps

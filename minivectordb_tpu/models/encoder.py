@@ -36,6 +36,14 @@ class EncoderConfig:
     layer_norm_eps: float = 1e-5
     # XLM-R position ids start at pad_id + 1 for real tokens
     pos_offset: int = 2
+    # When > 0, the LAST output dim is replaced by the constant sqrt(f) and
+    # the rest rescaled by sqrt(1-f), so every pairwise cosine becomes
+    # (1-f)*cos + f >= 2f-1 exactly. Used by the bundled trained builtin
+    # encoder to reproduce the high-anisotropy score distribution of real
+    # sentence encoders (the reference's autocut contract — a >20% RELATIVE
+    # score drop, reference vector_database.py:443-464 — presumes cosines
+    # well above zero, as its ONNX USE model produces).
+    cos_floor: float = 0.0
 
 
 def init_params(cfg: EncoderConfig, seed: int, dtype=jnp.float32) -> dict:
@@ -194,8 +202,23 @@ def embed_program(params, cfg: EncoderConfig, input_ids, attention_mask, pooling
     """The fused embed program: encoder forward + pool + normalize."""
     hidden = encode(params, cfg, input_ids, attention_mask)
     if pooling == "cls":
-        return cls_pool_normalize(hidden, attention_mask)
-    return mean_pool_normalize(hidden, attention_mask)
+        out = cls_pool_normalize(hidden, attention_mask)
+    else:
+        out = mean_pool_normalize(hidden, attention_mask)
+    if cfg.cos_floor > 0.0:
+        f = cfg.cos_floor
+        body = out[:, :-1]
+        body = body / jnp.maximum(
+            jnp.linalg.norm(body, axis=-1, keepdims=True), 1e-12
+        )
+        out = jnp.concatenate(
+            [
+                body * np.sqrt(1.0 - f),
+                jnp.full((out.shape[0], 1), np.sqrt(f), out.dtype),
+            ],
+            axis=-1,
+        )
+    return out
 
 
 def seq_bucket(n: int, max_len: int = 512) -> int:

@@ -53,9 +53,17 @@ class WordVocabTokenizer:
     [4+len(words) .. vocab_size) OOV buckets.
     """
 
-    def __init__(self, words: list[str], vocab_size: int):
+    def __init__(self, words: list[str], vocab_size: int,
+                 drop_oov: bool = False):
+        """drop_oov=True makes the vocabulary CLOSED: unknown words are
+        dropped instead of hashed into OOV buckets. The bundled trained
+        encoder ships this way — an unknown word's random (or collided)
+        embedding only injects noise into the mean pool, whereas dropping it
+        leaves the known words' clean representation. A text with no known
+        words at all keeps its hashed ids (degraded but distinct)."""
         self.vocab_size = vocab_size
         self.words = list(words)
+        self.drop_oov = drop_oov
         self._index = {w: 4 + i for i, w in enumerate(self.words)}
         self._oov_base = 4 + len(self.words)
         self._oov_range = vocab_size - self._oov_base
@@ -70,11 +78,24 @@ class WordVocabTokenizer:
         return self._oov_base + (h % self._oov_range)
 
     def encode(self, text: str, max_length: int = 512) -> list[int]:
+        toks = _WORD_RE.findall(text.lower())
         ids = [BOS_ID]
-        for tok in _WORD_RE.findall(text.lower()):
-            ids.append(self._id(tok))
+        for tok in toks:
+            tid = self._index.get(tok)
+            if tid is None:
+                if self.drop_oov:
+                    continue
+                tid = self._id(tok)
+            ids.append(tid)
             if len(ids) >= max_length - 1:
                 break
+        if self.drop_oov and len(ids) == 1 and toks:
+            # nothing known: fall back to hashed ids so distinct unknown
+            # texts still embed distinctly
+            for tok in toks:
+                ids.append(self._id(tok))
+                if len(ids) >= max_length - 1:
+                    break
         ids.append(EOS_ID)
         return ids
 

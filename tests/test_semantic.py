@@ -34,8 +34,8 @@ def _model(kind: str) -> EmbeddingModel:
                 use_quantized_onnx_model=False, alternative_model=kind
             )
     m = _MODELS[kind]
-    if not m.is_pretrained:
-        pytest.skip(f"pretrained weights for '{kind}' unavailable offline")
+    if not m.is_trained:
+        pytest.skip(f"trained weights for '{kind}' unavailable offline")
     return m
 
 

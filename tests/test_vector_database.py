@@ -19,9 +19,9 @@ from minivectordb_tpu.vector_database import VectorDatabase
 model = EmbeddingModel()
 
 semantic = pytest.mark.skipif(
-    not model.is_pretrained,
-    reason="pretrained encoder weights unavailable offline (seeded fallback "
-    "has correct dims but no semantics)",
+    not model.is_trained,
+    reason="trained encoder weights unavailable (seeded fallback has "
+    "correct dims but no semantics)",
 )
 
 
