@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from minivectordb_tpu.models.encoder import encode, mean_pool_normalize, cls_pool_normalize
+from minivectordb_tpu.models.encoder import (
+    apply_cos_floor,
+    cls_pool_normalize,
+    encode,
+    mean_pool_normalize,
+)
 from minivectordb_tpu.ops.scan import _MASKED_SCORE, topk_last_axis
 
 
@@ -34,6 +39,7 @@ def embed_search_program(
         q = cls_pool_normalize(hidden, attention_mask)
     else:
         q = mean_pool_normalize(hidden, attention_mask)
+    q = apply_cos_floor(q, cfg)
     c = buf.shape[0]
     scores = jax.lax.dot_general(
         q.astype(buf.dtype),

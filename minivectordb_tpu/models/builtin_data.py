@@ -708,10 +708,18 @@ class PairSampler:
     """
 
     def __init__(self, seed: int = 0, hypernym_fraction: float = 0.3,
-                 multi_fraction: float = 0.3):
+                 multi_fraction: float = 0.3, word_dropout: float = 0.25):
         self.rng = np.random.default_rng(seed)
         self.hypernym_fraction = hypernym_fraction
         self.multi_fraction = multi_fraction
+        # Each function word is independently dropped with this probability
+        # at render time, so the model trains on partial frames ("we dogs",
+        # "about dogs", bare "dogs"). This is what keeps attention anchored
+        # on CONTENT words in unusual structures — the exact regime the
+        # closed-vocab tokenizer produces at inference when it drops unknown
+        # user words (without it, a frame like "[we] [dogs]" collapses onto
+        # the function word and every such sentence embeds identically).
+        self.word_dropout = word_dropout
         self.cats = list(CONCEPTS)
         # flat (category, group index) list for without-replacement batching
         self.all_groups = [
@@ -720,9 +728,19 @@ class PairSampler:
             for gi in range(len(CONCEPTS[cat][1]))
         ]
 
+    def _dropout_template(self, t: str) -> str:
+        if self.word_dropout <= 0:
+            return t
+        parts = [
+            w
+            for w in t.split()
+            if "{}" in w or self.rng.random() >= self.word_dropout
+        ]
+        return " ".join(parts)
+
     def _render(self, form: str) -> str:
         t = TEMPLATES[self.rng.integers(len(TEMPLATES))]
-        return t.format(form)
+        return self._dropout_template(t).format(form)
 
     def _pair_for_group(self, cat: str, gi: int, fillers: list[str],
                         allow_hyper: bool = True):
@@ -745,7 +763,9 @@ class PairSampler:
         else:
             b = a
         if fillers and self.rng.random() < self.multi_fraction:
-            t = MULTI_TEMPLATES[self.rng.integers(len(MULTI_TEMPLATES))]
+            t = self._dropout_template(
+                MULTI_TEMPLATES[self.rng.integers(len(MULTI_TEMPLATES))]
+            )
             n_slots = t.count("{}")
             slots = [
                 fillers[self.rng.integers(len(fillers))]

@@ -197,6 +197,26 @@ def cls_pool_normalize(hidden, attention_mask):
     )
 
 
+def apply_cos_floor(out, cfg: EncoderConfig):
+    """Apply cfg.cos_floor to unit embeddings (see EncoderConfig.cos_floor);
+    identity when the floor is 0. Must be applied by EVERY path that emits
+    this encoder's embeddings (embed_program AND the fused pipeline)."""
+    if cfg.cos_floor <= 0.0:
+        return out
+    f = cfg.cos_floor
+    body = out[:, :-1]
+    body = body / jnp.maximum(
+        jnp.linalg.norm(body, axis=-1, keepdims=True), 1e-12
+    )
+    return jnp.concatenate(
+        [
+            body * np.sqrt(1.0 - f),
+            jnp.full((out.shape[0], 1), np.sqrt(f), out.dtype),
+        ],
+        axis=-1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "pooling"))
 def embed_program(params, cfg: EncoderConfig, input_ids, attention_mask, pooling="mean"):
     """The fused embed program: encoder forward + pool + normalize."""
@@ -205,20 +225,7 @@ def embed_program(params, cfg: EncoderConfig, input_ids, attention_mask, pooling
         out = cls_pool_normalize(hidden, attention_mask)
     else:
         out = mean_pool_normalize(hidden, attention_mask)
-    if cfg.cos_floor > 0.0:
-        f = cfg.cos_floor
-        body = out[:, :-1]
-        body = body / jnp.maximum(
-            jnp.linalg.norm(body, axis=-1, keepdims=True), 1e-12
-        )
-        out = jnp.concatenate(
-            [
-                body * np.sqrt(1.0 - f),
-                jnp.full((out.shape[0], 1), np.sqrt(f), out.dtype),
-            ],
-            axis=-1,
-        )
-    return out
+    return apply_cos_floor(out, cfg)
 
 
 def seq_bucket(n: int, max_len: int = 512) -> int:
