@@ -111,3 +111,40 @@ def test_pallas_int8_matches_xla_int8():
     np.testing.assert_allclose(
         np.asarray(pv), np.asarray(ev)[:, :8], rtol=1e-5, atol=1e-6
     )
+
+
+def test_phase2_two_level_matches_direct_topk():
+    """The supertile two-level phase-2 must select the same subtiles as a
+    direct lax.top_k over all subtile maxima (exactness of the reduction)."""
+    import jax
+
+    from minivectordb_tpu.ops.pallas_scan import _phase2_topk_subtiles
+
+    rng = np.random.default_rng(3)
+    maxima = jnp.asarray(rng.standard_normal((4, 2048)).astype(np.float32))
+    for n_sub in (8, 26, 63):
+        two = np.asarray(_phase2_topk_subtiles(maxima, n_sub))
+        _, direct = jax.lax.top_k(maxima, n_sub)
+        for b in range(4):
+            assert set(two[b].tolist()) == set(np.asarray(direct)[b].tolist())
+
+
+def test_pallas_scan_exercises_two_level_phase2():
+    """Corpus large enough that n_sub < n_supertiles (the two-level branch
+    actually runs) stays oracle-exact."""
+    rng = np.random.default_rng(4)
+    n, d, k = 40_000, 16, 8
+    cap = scan_ops.capacity_bucket(n)  # 65536 -> 2048 subtiles, 64 supertiles
+    assert cap // 32 // 32 > k + 16  # two-level branch taken
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    buf = jnp.asarray(np.vstack([mat, np.zeros((cap - n, d), np.float32)]))
+    inv = scan_ops.row_inv_norms(buf)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    vals, idx = pallas_scan_topk(buf, inv, jnp.asarray(q), n, k)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    norms = np.linalg.norm(mat, axis=1)
+    for b in range(2):
+        qn = q[b] / np.linalg.norm(q[b])
+        scores = (mat @ qn) / norms
+        oracle = np.argsort(-scores)[:k]
+        assert set(idx[b].tolist()) == set(oracle.tolist())
