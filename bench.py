@@ -72,6 +72,10 @@ def correctness_check():
     pvals, pidx = pallas_scan_topk(buf, inv, jnp.asarray(q), n, 16)
     pvals = np.asarray(pvals)[:, :10]
     pidx = np.asarray(pidx)[:, :10]
+    mvals, midx = pallas_scan_topk(
+        buf, inv, jnp.asarray(q), n, 16, scan_buf=buf.astype(jnp.bfloat16)
+    )
+    midx = np.asarray(midx)[:, :10]
     for b in range(4):
         qn = q[b] / np.linalg.norm(q[b])
         scores = (mat @ qn) / norms
@@ -81,6 +85,7 @@ def correctness_check():
             vals[b], np.sort(scores[oracle])[::-1], rtol=2e-5, atol=2e-5
         )
         assert set(pidx[b]) == set(oracle), "pallas scan disagrees with oracle"
+        assert set(midx[b]) == set(oracle), "mixed scan disagrees with oracle"
 
 
 def _time_scan(buf, inv, q, mode, iters):
@@ -99,17 +104,17 @@ def _time_scan(buf, inv, q, mode, iters):
     return (time.perf_counter() - t) / iters
 
 
-def _time_pallas(buf, inv, q, iters):
+def _time_pallas(buf, inv, q, iters, scan_buf=None):
     import jax
 
     from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
 
-    r = pallas_scan_topk(buf, inv, q, N, 16)
+    r = pallas_scan_topk(buf, inv, q, N, 16, scan_buf=scan_buf)
     jax.block_until_ready(r)
     np.asarray(r[0][:1, :1])
     t = time.perf_counter()
     for _ in range(iters):
-        r = pallas_scan_topk(buf, inv, q, N, 16)
+        r = pallas_scan_topk(buf, inv, q, N, 16, scan_buf=scan_buf)
     jax.block_until_ready(r)
     np.asarray(r[0][:1, :1])
     return (time.perf_counter() - t) / iters
@@ -121,12 +126,15 @@ def bench_tpu(buf, inv):
 
     out = {}
     best_exact = 0.0
+    scan_buf16 = buf.astype(jnp.bfloat16)  # the 'mixed' phase-1 shadow
     for batch in (QBATCH, 1024):
         q = jax.random.normal(jax.random.PRNGKey(1), (batch, D), dtype=jnp.float32)
         dt_xla = _time_scan(buf, inv, q, "exact", 10)
         dt_pallas = _time_pallas(buf, inv, q, 10)
+        dt_mixed = _time_pallas(buf, inv, q, 10, scan_buf=scan_buf16)
         out[f"exact_xla_qps_b{batch}"] = batch / dt_xla
         out[f"exact_pallas_qps_b{batch}"] = batch / dt_pallas
+        out[f"mixed_pallas_qps_b{batch}"] = batch / dt_mixed
         best_exact = max(best_exact, batch / min(dt_xla, dt_pallas))
     q = jax.random.normal(jax.random.PRNGKey(1), (QBATCH, D), dtype=jnp.float32)
     dt_approx = _time_scan(buf, inv, q, "approx", 10)
@@ -278,6 +286,10 @@ def main():
             "oracle-checked): Pallas two-phase subtile-max kernel vs XLA "
             "fused scan+TopK",
             "approx = TPU ApproxTopK recall_target 0.99 (measured ~0.997)",
+            "mixed = bf16 phase-1 subtile selection + exact f32 rescore of "
+            "survivors (margin 2k): oracle-checked here and recall 1.000 in "
+            "benchmarks/full_report.json; f32 phase-1 is MXU-rate-bound, "
+            "so this is the fast effectively-exact route",
             "bf16_approx = bfloat16 corpus + ApproxTopK (recall-tolerant mode)",
             "public_api = VectorDatabase.find_most_similar(_batch) end to "
             "end; api_efficiency compares it to the raw kernel measured "

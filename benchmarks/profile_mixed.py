@@ -1,0 +1,54 @@
+"""Time exact-f32 vs mixed (bf16 phase-1 shadow) at 1M x 384, plus recall."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minivectordb_tpu.ops import scan as scan_ops
+from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
+
+N, D, K = 1_000_000, 384, 16
+cap = scan_ops.capacity_bucket(N)
+buf = jax.random.normal(jax.random.PRNGKey(0), (cap, D), dtype=jnp.float32)
+rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+buf = jnp.where(rows < N, buf, 0.0)
+inv = scan_ops.row_inv_norms(buf)
+shadow = buf.astype(jnp.bfloat16)
+jax.block_until_ready(shadow)
+print("ready", flush=True)
+
+
+def _sync(r):
+    np.asarray(jax.tree.leaves(r)[0])[:1, :1]
+
+
+def t(f, iters=10):
+    r = f()
+    _sync(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f()
+    _sync(r)
+    return (time.perf_counter() - t0) / iters
+
+
+for b in (256, 1024):
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, D), dtype=jnp.float32)
+    de = t(lambda: pallas_scan_topk(buf, inv, q, N, K))
+    dm = t(lambda: pallas_scan_topk(buf, inv, q, N, K, scan_buf=shadow))
+    # recall of mixed vs exact
+    ev, ei = pallas_scan_topk(buf, inv, q, N, K)
+    mv, mi = pallas_scan_topk(buf, inv, q, N, K, scan_buf=shadow)
+    ei, mi = np.asarray(ei), np.asarray(mi)
+    rec = np.mean(
+        [len(set(ei[i]) & set(mi[i])) / K for i in range(b)]
+    )
+    print(
+        f"B={b}: exact {de*1e3:.2f} ms ({b/de:,.0f} QPS) | "
+        f"mixed {dm*1e3:.2f} ms ({b/dm:,.0f} QPS) | recall@{K} {rec:.4f}",
+        flush=True,
+    )

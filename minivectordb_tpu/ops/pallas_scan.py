@@ -332,9 +332,11 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
     Returns (values (B, k) f32, indices (B, k) int32), descending.
 
     scan_buf: optional lower-precision shadow of buf (e.g. bfloat16) used
-    ONLY for phase-1 subtile selection — phase-3 still rescores from `buf`
-    at full precision ("mixed" mode: ~2x phase-1 bandwidth/compute, recall
-    governed by `margin` absorbing the shadow's rounding of subtile maxima).
+    ONLY for phase-1 subtile selection ("mixed" mode: phase 1 runs at the
+    MXU bf16 rate, ~4x the f32 rate on v5e, and half the HBM traffic);
+    phase 3 always gathers + rescores from `buf` at full f32 precision, so
+    returned scores are exact and recall is governed by `margin` absorbing
+    the shadow's rounding of subtile maxima.
     """
     c, d = buf.shape
     b = q.shape[0]
@@ -357,16 +359,15 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
     sub_idx = _phase2_topk_subtiles(maxima, n_sub)  # (bp, n_sub) subtile ids
 
     # Phase 3: gather winning subtiles and rescore, in query chunks (a
-    # full-batch gather would materialize B*n_sub*SUBTILE*d floats). With a
-    # shadow, the wide rescore runs on the bf16 shadow (half the gather
-    # traffic, native-MXU matmul) and only the surviving k+8 rows get an
-    # exact f32 re-rescore afterwards.
-    p3_buf = buf if scan_buf is None else scan_buf
-    sub_buf = p3_buf.reshape(c // SUBTILE, SUBTILE, d)
+    # full-batch gather would materialize B*n_sub*SUBTILE*d floats). Always
+    # rescores from the full-precision `buf` (authoritative even when
+    # phase 1 selected on the bf16 shadow — measured on v5e the bf16
+    # GATHER path was far slower than the f32 gather it was meant to
+    # halve, so the shadow is phase-1-only).
+    sub_buf = buf.reshape(c // SUBTILE, SUBTILE, d)
     sub_inv = inv_norms.reshape(c // SUBTILE, SUBTILE)
     sub_mask = None if mask_f is None else mask_f.reshape(c // SUBTILE, SUBTILE)
-    refine = scan_buf is not None
-    k_wide = min(k + 8 if refine else k, n_sub * SUBTILE)
+    k_wide = min(k, n_sub * SUBTILE)
 
     def chunk_fn(args):
         q_chunk, sidx_chunk = args  # (CH, d), (CH, n_sub)
@@ -403,20 +404,4 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
         vals, idx = jax.lax.map(chunk_fn, (qc, sc))
         vals = vals.reshape(bp, k_wide)
         idx = idx.reshape(bp, k_wide)
-
-    if refine:
-        # exact f32 re-rescore of the k_wide survivors (tiny gather)
-        rows = buf[idx]  # (bp, k_wide, d) f32
-        rescored = jnp.einsum(
-            "bd,bkd->bk",
-            qn,
-            rows,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rescored = rescored * inv_norms[idx]
-        rescored = jnp.where(vals > -1.0e38, rescored, _MASKED_SCORE)
-        kk = min(k, k_wide)
-        vals, pos = jax.lax.top_k(rescored, kk)
-        idx = jnp.take_along_axis(idx, pos, axis=-1)
     return vals[:b], idx[:b].astype(jnp.int32)
