@@ -292,7 +292,7 @@ def encoder_throughput(quick=False):
         model.extract_embeddings(texts[i % len(texts)])
     single_eps = n_single / (time.perf_counter() - t0)
     return {
-        "model": "builtin-512 (fallback weights)",
+        "model": f"builtin-512 ({model.weights_source} weights)",
         "batch64_embeddings_per_s": batch_eps,
         "single_embeddings_per_s": single_eps,
         "batch_speedup": batch_eps / single_eps,

@@ -38,7 +38,7 @@ def embed_search_program(
     if pooling == "cls":
         q = cls_pool_normalize(hidden, attention_mask)
     else:
-        q = mean_pool_normalize(hidden, attention_mask)
+        q = mean_pool_normalize(hidden, attention_mask, cfg.token_norm_pool)
     q = apply_cos_floor(q, cfg)
     c = buf.shape[0]
     scores = jax.lax.dot_general(

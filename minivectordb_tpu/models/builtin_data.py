@@ -708,7 +708,7 @@ class PairSampler:
     """
 
     def __init__(self, seed: int = 0, hypernym_fraction: float = 0.3,
-                 multi_fraction: float = 0.3, word_dropout: float = 0.25):
+                 multi_fraction: float = 0.35, word_dropout: float = 0.25):
         self.rng = np.random.default_rng(seed)
         self.hypernym_fraction = hypernym_fraction
         self.multi_fraction = multi_fraction
@@ -721,11 +721,17 @@ class PairSampler:
         # the function word and every such sentence embeds identically).
         self.word_dropout = word_dropout
         self.cats = list(CONCEPTS)
-        # flat (category, group index) list for without-replacement batching
+        # flat (category, group index) list for without-replacement batching.
+        # gi == -1 is the category's own form-set as a first-class group:
+        # without it, category words ("animals", "technology") only ever
+        # appear as hypernym PASSAGES pulled toward dozens of member
+        # queries — diluted hubs with no synonym tying of their own — which
+        # measurably weakens sentences built on category words in
+        # multi-topic scoring (the usearch distance-ratio autocut gate).
         self.all_groups = [
             (cat, gi)
             for cat in self.cats
-            for gi in range(len(CONCEPTS[cat][1]))
+            for gi in range(-1, len(CONCEPTS[cat][1]))
         ]
 
     def _dropout_template(self, t: str) -> str:
@@ -742,14 +748,16 @@ class PairSampler:
         t = TEMPLATES[self.rng.integers(len(TEMPLATES))]
         return self._dropout_template(t).format(form)
 
-    def _pair_for_group(self, cat: str, gi: int, fillers: list[str],
-                        allow_hyper: bool = True):
-        """One (query, passage) positive for a specific concept group.
-        `fillers` supplies other-group words for multi-concept queries."""
+    def _words_for_group(self, cat: str, gi: int, allow_hyper: bool = True):
+        """(query word, passage word, used_category_word) for one group."""
         cat_forms, groups = CONCEPTS[cat]
-        group = groups[gi]
+        group = cat_forms if gi < 0 else groups[gi]
         a = group[self.rng.integers(len(group))]
-        hyper = allow_hyper and self.rng.random() < self.hypernym_fraction
+        hyper = (
+            gi >= 0
+            and allow_hyper
+            and self.rng.random() < self.hypernym_fraction
+        )
         if hyper:
             # category word stays on the PASSAGE side: the contract is
             # query=member retrieves passage=category ("i like dogs" ->
@@ -762,56 +770,81 @@ class PairSampler:
             b = others[self.rng.integers(len(others))]
         else:
             b = a
-        if fillers and self.rng.random() < self.multi_fraction:
-            t = self._dropout_template(
-                MULTI_TEMPLATES[self.rng.integers(len(MULTI_TEMPLATES))]
-            )
-            n_slots = t.count("{}")
-            slots = [
-                fillers[self.rng.integers(len(fillers))]
-                for _ in range(n_slots - 1)
-            ]
-            slots.insert(int(self.rng.integers(n_slots)), a)
-            return t.format(*slots), self._render(b)
-        if not hyper and self.rng.random() < 0.5:
-            a, b = b, a
-        return self._render(a), self._render(b)
+        return a, b, hyper or gi < 0
 
     def pair(self) -> tuple[str, str]:
         cat, gi = self.all_groups[self.rng.integers(len(self.all_groups))]
-        return self._pair_for_group(cat, gi, [])
+        a, b, _ = self._words_for_group(cat, gi)
+        return self._render(a), self._render(b)
 
-    def batch_texts(self, n: int) -> tuple[list[str], list[str]]:
-        """One positive pair per DISTINCT concept group.
+    def batch_labeled(self, n: int):
+        """(queries, passages, labels): one positive pair per DISTINCT
+        concept group, multi-positive soft labels for multi-topic queries.
 
-        InfoNCE treats every other in-batch passage as a negative; sampling
-        groups WITH replacement makes ~15% of a 256-batch share a group with
-        another item, so the loss actively pushes same-concept renderings
-        apart — direct anti-synonym pressure. Without-replacement sampling
-        removes that label noise. Multi-concept filler words are drawn from
-        the groups NOT in the batch for the same reason."""
+        - Without-replacement group sampling: a duplicated group makes two
+          same-concept passages hard negatives of each other — direct
+          anti-synonym pressure (measured: in-batch accuracy plateaus ~0.55
+          and held-out synonym retrieval ~0.5 with replacement).
+        - A category word appears in at most ONE passage per batch (same
+          hard-negative argument for the hypernym relation).
+        - A multi-topic query ("cars and animals") takes its partner topics
+          from OTHER in-batch items and puts 1/m label mass on EACH topic's
+          passage, so its optimal embedding is the topics' barycenter —
+          balanced composition by construction (this is what keeps the
+          reference's multi-topic autocut flows intact, including the
+          usearch engine's distance-ratio variant)."""
         idx = self.rng.permutation(len(self.all_groups))
         take = idx[: min(n, len(self.all_groups))]
-        rest = idx[len(take):]
-        fillers = []
-        for j in rest[:64]:
-            cat, gi = self.all_groups[j]
-            group = CONCEPTS[cat][1][gi]
-            fillers.append(group[self.rng.integers(len(group))])
-        qs, ps = [], []
-        # a category word may appear in at most ONE passage per batch —
-        # otherwise a second group's hypernym passage is a hard negative for
-        # the first (anti-hypernym pressure)
-        hyper_used: set[str] = set()
-        while len(qs) < n:
-            cat, gi = self.all_groups[take[len(qs) % len(take)]]
-            q, p = self._pair_for_group(
-                cat, gi, fillers, allow_hyper=cat not in hyper_used
+        hyper_used: set[str] = {
+            self.all_groups[j][0]
+            for j in take
+            if self.all_groups[j][1] == -1
+        }
+        items, ps = [], []
+        for i in range(n):
+            cat, gi = self.all_groups[take[i % len(take)]]
+            a, b, used_cat = self._words_for_group(
+                cat, gi, allow_hyper=cat not in hyper_used
             )
-            if any(f in p.split() for f in CONCEPTS[cat][0]):
+            if used_cat:
                 hyper_used.add(cat)
-            qs.append(q)
-            ps.append(p)
+            items.append((cat, a))
+            ps.append(self._render(b))
+
+        labels = np.eye(n, dtype=np.float32)
+        qs = []
+        for i in range(n):
+            cat, a = items[i]
+            if self.rng.random() < self.multi_fraction:
+                t = self._dropout_template(
+                    MULTI_TEMPLATES[self.rng.integers(len(MULTI_TEMPLATES))]
+                )
+                m = t.count("{}")
+                partners: list[int] = []
+                tries = 0
+                while len(partners) < m - 1 and tries < 64:
+                    j = int(self.rng.integers(n))
+                    if (
+                        j != i
+                        and j not in partners
+                        and items[j][0] != cat
+                    ):
+                        partners.append(j)
+                    tries += 1
+                if len(partners) == m - 1:
+                    slots = [items[j][1] for j in partners]
+                    slots.insert(int(self.rng.integers(m)), a)
+                    qs.append(t.format(*slots))
+                    w = 1.0 / m
+                    labels[i, i] = w
+                    for j in partners:
+                        labels[i, j] = w
+                    continue
+            qs.append(self._render(a))
+        return qs, ps, labels
+
+    def batch_texts(self, n: int) -> tuple[list[str], list[str]]:
+        qs, ps, _ = self.batch_labeled(n)
         return qs, ps
 
 
@@ -838,7 +871,7 @@ def batch_iterator(
         return ids, mask
 
     while True:
-        qs, ps = sampler.batch_texts(batch_size)
+        qs, ps, labels = sampler.batch_labeled(batch_size)
         q_ids, q_mask = tokenize(qs)
         p_ids, p_mask = tokenize(ps)
         yield {
@@ -846,4 +879,5 @@ def batch_iterator(
             "q_mask": q_mask,
             "p_ids": p_ids,
             "p_mask": p_mask,
+            "labels": labels,
         }

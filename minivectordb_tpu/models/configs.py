@@ -49,7 +49,8 @@ BUILTIN_512 = EncoderConfig(
 # blob, reference setup.py:45-47). vocab layout is WordVocabTokenizer's:
 # 4 specials + the curated corpus words + hashed OOV buckets.
 TRAINED_BUILTIN = EncoderConfig(
-    vocab_size=4096, hidden=512, layers=2, heads=8, intermediate=1024
+    vocab_size=4096, hidden=512, layers=2, heads=8, intermediate=1024,
+    token_norm_pool=True,
 )
 
 HF_MODEL_NAMES = {

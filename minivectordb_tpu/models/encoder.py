@@ -36,6 +36,13 @@ class EncoderConfig:
     layer_norm_eps: float = 1e-5
     # XLM-R position ids start at pad_id + 1 for real tokens
     pos_offset: int = 2
+    # L2-normalize each token's hidden state BEFORE mean pooling, so every
+    # token contributes exactly 1/n to the sentence vector. Used by the
+    # bundled trained builtin encoder: with raw mean pooling the effective
+    # per-token weight varies with hidden-state norm/attention, so a
+    # multi-topic query weights its topics unevenly (which breaks the
+    # reference's distance-ratio autocut parity on the usearch engine).
+    token_norm_pool: bool = False
     # When > 0, the LAST output dim is replaced by the constant sqrt(f) and
     # the rest rescaled by sqrt(1-f), so every pairwise cosine becomes
     # (1-f)*cos + f >= 2f-1 exactly. Used by the bundled trained builtin
@@ -174,10 +181,15 @@ def encode(params, cfg: EncoderConfig, input_ids, attention_mask):
     return x
 
 
-def mean_pool_normalize(hidden, attention_mask):
+def mean_pool_normalize(hidden, attention_mask, token_norm: bool = False):
     """Masked mean-pool + L2 normalize (reference embedding_model.py:50-53,70).
-    Accumulates in float32 regardless of the encoder compute dtype."""
+    Accumulates in float32 regardless of the encoder compute dtype.
+    token_norm: see EncoderConfig.token_norm_pool."""
     hidden = hidden.astype(jnp.float32)
+    if token_norm:
+        hidden = hidden / jnp.maximum(
+            jnp.linalg.norm(hidden, axis=-1, keepdims=True), 1e-12
+        )
     m = attention_mask[..., None].astype(jnp.float32)
     summed = jnp.sum(hidden * m, axis=1)
     counts = jnp.maximum(jnp.sum(m, axis=1), 1.0)
@@ -224,7 +236,7 @@ def embed_program(params, cfg: EncoderConfig, input_ids, attention_mask, pooling
     if pooling == "cls":
         out = cls_pool_normalize(hidden, attention_mask)
     else:
-        out = mean_pool_normalize(hidden, attention_mask)
+        out = mean_pool_normalize(hidden, attention_mask, cfg.token_norm_pool)
     return apply_cos_floor(out, cfg)
 
 

@@ -61,29 +61,49 @@ def param_shardings(mesh: Mesh, params) -> dict:
 
 
 def info_nce_loss(params, cfg: EncoderConfig, batch, temperature: float = 0.05):
-    """In-batch InfoNCE: query i must match passage i against all others."""
+    """In-batch InfoNCE: query i must match passage i against all others.
+
+    When the batch carries a soft ``labels`` matrix (B, B), the loss is
+    multi-positive cross-entropy: a query whose text mentions several
+    in-batch topics targets 1/m mass on EACH topic's passage, so its
+    optimal embedding is the passages' barycenter — balanced multi-topic
+    composition by construction (the corpus sampler emits these rows,
+    models/builtin_data.py)."""
     q_emb = mean_pool_normalize(
-        encode(params, cfg, batch["q_ids"], batch["q_mask"]), batch["q_mask"]
+        encode(params, cfg, batch["q_ids"], batch["q_mask"]), batch["q_mask"],
+        cfg.token_norm_pool,
     )
     p_emb = mean_pool_normalize(
-        encode(params, cfg, batch["p_ids"], batch["p_mask"]), batch["p_mask"]
+        encode(params, cfg, batch["p_ids"], batch["p_mask"]), batch["p_mask"],
+        cfg.token_norm_pool,
     )
     logits = (
         jnp.dot(q_emb, p_emb.T, preferred_element_type=jnp.float32) / temperature
     )
-    labels = jnp.arange(logits.shape[0])
-    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-    acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+    diag = jnp.arange(logits.shape[0])
+    if "labels" in batch:
+        loss = optax.softmax_cross_entropy(logits, batch["labels"]).mean()
+        # accuracy: argmax must land anywhere in the positive support
+        hit = jnp.take_along_axis(
+            batch["labels"] > 0, jnp.argmax(logits, axis=-1)[:, None], axis=1
+        )[:, 0]
+        acc = jnp.mean(hit)
+    else:
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, diag
+        ).mean()
+        acc = jnp.mean(jnp.argmax(logits, axis=-1) == diag)
     return loss, acc
 
 
-def make_train_step(cfg: EncoderConfig, optimizer, mesh: Mesh | None = None):
+def make_train_step(cfg: EncoderConfig, optimizer, mesh: Mesh | None = None,
+                    temperature: float = 0.05):
     """Build the jitted training step. With a mesh, params get TP shardings
     and the batch is dp-sharded; XLA inserts all collectives."""
 
     def step(params, opt_state, batch):
         (loss, acc), grads = jax.value_and_grad(
-            lambda p: info_nce_loss(p, cfg, batch), has_aux=True
+            lambda p: info_nce_loss(p, cfg, batch, temperature), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -92,14 +112,13 @@ def make_train_step(cfg: EncoderConfig, optimizer, mesh: Mesh | None = None):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1))
 
-    batch_sharding = {
-        k: NamedSharding(mesh, P(DP_AXIS, None))
-        for k in ("q_ids", "q_mask", "p_ids", "p_mask")
-    }
+    row_sharded = NamedSharding(mesh, P(DP_AXIS, None))
 
     def sharded_step(params, opt_state, batch):
+        # every batch tensor (token ids, masks, optional soft labels) is
+        # row-sharded over dp
         batch = {
-            k: jax.lax.with_sharding_constraint(v, batch_sharding[k])
+            k: jax.lax.with_sharding_constraint(v, row_sharded)
             for k, v in batch.items()
         }
         return step(params, opt_state, batch)
@@ -128,6 +147,7 @@ def train_loop(
     steps: int,
     mesh: Mesh | None = None,
     learning_rate: float = 1e-4,
+    temperature: float = 0.05,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 100,
     start_step: int = 0,
@@ -146,7 +166,8 @@ def train_loop(
     params = placed
     if opt_state is None:
         opt_state = fresh_opt
-    step_fn = make_train_step(cfg, optimizer, mesh=mesh)
+    step_fn = make_train_step(cfg, optimizer, mesh=mesh,
+                              temperature=temperature)
     history = []
     for step in range(start_step, start_step + steps):
         batch = next(batch_iter)

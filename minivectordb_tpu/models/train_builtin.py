@@ -142,6 +142,16 @@ def scenario_probes(params, tok, cfg=None) -> dict:
     kept = _autocut_keep(np.sort(s)[::-1].tolist())
     res["autocut_keeps_all"] = bool(kept == 4)
     res["autocut_min_score_ratio"] = float(np.min(s) / np.max(s))
+
+    # the usearch engine's variant works in DISTANCE space: it cuts after a
+    # >20% relative distance INCREASE (reference
+    # sharded_vector_database_usearch.py:573-594), and relative distance
+    # ratios are invariant to the cos_floor — the embeddings themselves
+    # must keep adjacent multi-topic distances within 1.2x (gated at 1.17
+    # for quantization margin; int8 perturbs ratios by ~1%)
+    d = np.sort(1.0 - s)
+    res["usearch_dist_max_ratio"] = float(np.max(d[1:] / d[:-1]))
+    res["usearch_autocut_keeps_all"] = bool(res["usearch_dist_max_ratio"] < 1.17)
     return res
 
 
@@ -212,6 +222,7 @@ GATES = {
     "cars_animals_top2": True,
     "autocut_tech_only": True,
     "autocut_keeps_all": True,
+    "usearch_autocut_keeps_all": True,
 }
 THRESHOLDS = {"heldout_synonym_acc": 0.85, "hypernym_acc": 0.80}
 
@@ -228,6 +239,10 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seq", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--temperature", type=float, default=0.05,
+                    help="InfoNCE temperature; higher -> smoother similarity "
+                    "landscape (the reference autocut contract needs "
+                    "moderate, not razor-sharp, similarity spreads)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--out",
@@ -258,6 +273,7 @@ def main(argv=None) -> int:
         batches,
         steps=args.steps,
         learning_rate=args.lr,
+        temperature=args.temperature,
         checkpoint_path=args.checkpoint,
         log_every=200,
     )
@@ -274,7 +290,11 @@ def main(argv=None) -> int:
         trial = dataclasses.replace(TRAINED_BUILTIN, cos_floor=f)
         sres = scenario_probes(params, tok, cfg=trial)
         print(f"  floor {f}: {sres}")
-        if sres["autocut_tech_only"] and sres["autocut_keeps_all"]:
+        if (
+            sres["autocut_tech_only"]
+            and sres["autocut_keeps_all"]
+            and sres["usearch_autocut_keeps_all"]
+        ):
             cfg = trial
             break
 

@@ -433,3 +433,78 @@ class ShardedSuite:
             assert data["embeddings"].dtype == np.float32
             assert isinstance(data["inverted_index"], dict)
             assert data["inverted_index"]["k"] == {"a"}
+
+    # -- semantic tests (reference test_sharded_vector_database.py:195-270
+    #    and the usearch mirror :195-345): require a real encoder — run
+    #    against the bundled trained builtin, skip the e5 slots offline ----
+
+    def _semantic_model(self, kind="builtin"):
+        from minivectordb_tpu.embedding_model import EmbeddingModel
+
+        if kind == "builtin":
+            m = EmbeddingModel()
+        else:
+            m = EmbeddingModel(use_quantized_onnx_model=False,
+                               alternative_model=kind)
+        if not m.is_trained:
+            pytest.skip(f"trained weights for '{kind}' unavailable offline")
+        return m
+
+    def _semantic_search_body(self, model):
+        with temp_dir_db(self.db_cls) as folder:
+            db = self.make(folder)
+            for uid, s in [(1, "i like animals"), (2, "i like cars"),
+                           (3, "i like programming")]:
+                db.store_embedding(uid, model.extract_embeddings(s))
+            ids, distances, metadatas = db.find_most_similar(
+                model.extract_embeddings("i like dogs"), k=2
+            )
+            assert len(ids) == 2 and len(distances) == 2 and len(metadatas) == 2
+            assert ids[0] == 1  # dogs -> animals first
+
+    def test_valid_similarity_search_quant(self):
+        self._semantic_search_body(self._semantic_model("builtin"))
+
+    def test_valid_similarity_search_non_quant_small(self):
+        self._semantic_search_body(self._semantic_model("small"))
+
+    def test_valid_similarity_search_non_quant_large(self):
+        self._semantic_search_body(self._semantic_model("large"))
+
+    def test_similarity_search_with_hybrid_reranking(self):
+        model = self._semantic_model("builtin")
+        with temp_dir_db(self.db_cls) as folder:
+            db = self.make(folder)
+            sentences = [
+                (1, "i like animals"),
+                (2, "i like cars"),
+                (3, "i like programming"),
+                (4, "technology is the future"),
+            ]
+            for uid, s in sentences:
+                db.store_embedding(uid, model.extract_embeddings(s))
+
+            query = "cars and animals"
+            ids, distances, _ = db.find_most_similar(
+                model.extract_embeddings(query), k=3
+            )
+            retrieved = [dict(sentences)[i] for i in ids]
+            reranked, scores = db.hybrid_rerank_results(
+                retrieved, list(distances), query, k=2
+            )
+            assert len(reranked) == 2 and len(scores) == 2
+            assert 1 in ids and 2 in ids
+
+            ids, _, _ = db.find_most_similar(
+                model.extract_embeddings("technology rocks"), k=4, autocut=True
+            )
+            assert len(ids) == 1 and ids[0] == 4
+
+            ids, _, _ = db.find_most_similar(
+                model.extract_embeddings(
+                    "animals, cars, programming, technology"
+                ),
+                k=4,
+                autocut=True,
+            )
+            assert len(ids) == 4 and {1, 2, 3, 4} == set(ids)
