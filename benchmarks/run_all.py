@@ -243,7 +243,14 @@ def config5_ivf_1m(quick=False):
     ingest_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     db.find_most_similar(queries[0], k=1)  # triggers the lazy build
-    build_s = time.perf_counter() - t0
+    first_search_s = time.perf_counter() - t0
+    # the engine times the k-means build and the one-time corpus host->HBM
+    # upload separately; the remainder of the first search is program
+    # compiles (the round-1/2 "build takes 17/11 minutes" readings were
+    # mostly upload + compile billed to the build)
+    ops = db.stats()["ops"]
+    build_s = ops.get("ivf_build", {}).get("total_s", 0.0)
+    corpus_sync_s = ops.get("corpus_sync", {}).get("total_s", 0.0)
 
     results = {}
     for nprobe in (8, 32, 64):
@@ -266,7 +273,9 @@ def config5_ivf_1m(quick=False):
     if os.path.exists(path):
         os.remove(path)
     return {"n": n, "d": d, "nlist": nlist, "ingest_s": ingest_s,
-            "build_s": build_s, "recall_rises": r[0] < r[1] <= r[2],
+            "build_s": build_s, "corpus_sync_s": corpus_sync_s,
+            "first_search_s": first_search_s,
+            "recall_rises": r[0] < r[1] <= r[2],
             **results}
 
 

@@ -268,7 +268,7 @@ class SearchEngine:
             st = self._ivf_pending_state
             self._ivf_pending_state = None
             if 0 < st["count"] <= self.count:
-                buf, inv, _ = self.store.sync()
+                buf, inv, _ = self._synced_corpus()
                 with self.telemetry.timed("ivf_attach"):
                     self._ivf = self._wrap_ivf(
                         IVFIndex.from_state(
@@ -283,7 +283,7 @@ class SearchEngine:
             opts["rebuild_floor"], opts["rebuild_frac"] * self._ivf_built_count
         ):
             return
-        buf, inv, count = self.store.sync()
+        buf, inv, count = self._synced_corpus()
         ivf = IVFIndex(
             nlist=opts["nlist"],
             nprobe=opts["nprobe"],
@@ -296,6 +296,19 @@ class SearchEngine:
         self._ivf_built_count = count
         self._ivf_dead_slots = 0
         self._start_overflow(count)
+
+    def _synced_corpus(self):
+        """store.sync() + DRAIN the async upload queue, under its own timer.
+
+        sync() dispatches host->HBM slab copies asynchronously; the next
+        device program queues behind them, so without a drain the one-time
+        corpus transfer gets billed to whatever runs next (measured: a 4 GB
+        corpus upload inflated the ivf_build timer ~15x on the dev tunnel)."""
+        with self.telemetry.timed("corpus_sync"):
+            buf, inv, count = self.store.sync()
+            if count:
+                np.asarray(buf[:1, :1])  # device->host copy drains the queue
+        return buf, inv, count
 
     def _wrap_ivf(self, ivf):
         """On a mesh, reshard the trained index list-per-chip
