@@ -456,7 +456,10 @@ class SearchEngine:
             )
             if use_ivf:
                 self._ensure_ivf()
-                ivf = self._ivf
+                # frozen view: deletes remap the live index in place, and
+                # this scan runs outside the lock against the uids/metadata
+                # captured below
+                ivf = self._ivf.snapshot()
                 built = self._ivf_built_count
                 if self._ivf_overflow is not None and self._ivf_overflow.count:
                     osnap = self._ivf_overflow.snapshot()

@@ -290,6 +290,12 @@ class IVFIndex:
         self._lists = lists_flat.reshape(nlist, pad, d)
         self._list_ids = jnp.asarray(list_ids.reshape(nlist, pad))
         self._list_valid = jnp.asarray(valid.reshape(nlist, pad))
+        # single-attribute table tuple: searches run OUTSIDE the owning
+        # database's lock, so they must read (lists, ids, valid) in one
+        # atomic reference grab — delete_rows swaps this tuple wholesale
+        # (reading ids from one version and valid from another could
+        # resurrect a deleted row under a stale-remapped id)
+        self._tables = (self._lists, self._list_ids, self._list_valid)
 
     def delete_rows(self, rows) -> int:
         """Tombstone deleted global rows in place and remap the surviving
@@ -311,6 +317,7 @@ class IVFIndex:
         if n_del:
             self._list_ids = jnp.asarray(ids)
             self._list_valid = jnp.asarray(valid)
+            self._tables = (self._lists, self._list_ids, self._list_valid)
             self.count -= n_del
         return n_del
 
@@ -379,33 +386,45 @@ class IVFIndex:
                          flat_ids, flat_valid)
         return idx
 
+    def snapshot(self) -> "IVFSnapshot":
+        """Frozen searchable view. The owning database captures this UNDER
+        its lock (together with the row-aligned uids/metadata lists) and
+        scans outside it: delete_rows mutates this index in place, so a
+        search bound to a live IVFIndex could resolve freshly-remapped ids
+        against pre-delete uid lists."""
+        return IVFSnapshot(
+            self.centroids, self._tables, self.count, self.nprobe
+        )
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+        return self.snapshot().search(queries, k, nprobe)
+
+
+class IVFSnapshot:
+    __slots__ = ("centroids", "tables", "count", "nprobe")
+
+    def __init__(self, centroids, tables, count, nprobe):
+        self.centroids = centroids
+        self.tables = tables
+        self.count = count
+        self.nprobe = nprobe
+
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
         nprobe = self.nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)
+        lists, list_ids, list_valid = self.tables
         if jax.default_backend() != "cpu":
             # paged Pallas probe: scalar-prefetched list ids drive the block
             # DMAs (ops/pallas_ivf.py) — far faster than the XLA formulations
             from minivectordb_tpu.ops.pallas_ivf import pallas_ivf_search
 
             vals, ids = pallas_ivf_search(
-                self.centroids,
-                self._lists,
-                self._list_ids,
-                self._list_valid,
-                q,
-                nprobe,
-                kk,
+                self.centroids, lists, list_ids, list_valid, q, nprobe, kk
             )
         else:
             vals, ids = _ivf_search(
-                self.centroids,
-                self._lists,
-                self._list_ids,
-                self._list_valid,
-                q,
-                nprobe,
-                kk,
+                self.centroids, lists, list_ids, list_valid, q, nprobe, kk
             )
         return np.asarray(vals), np.asarray(ids)

@@ -141,6 +141,12 @@ class DistributedIVFIndex:
     def state_dict(self) -> dict:
         return self._state
 
+    def snapshot(self) -> "DistributedIVFIndex":
+        """This index is never mutated in place (the engine rebuilds it
+        wholesale under the lock on any delete), so the object itself is the
+        frozen view — interface parity with IVFIndex.snapshot()."""
+        return self
+
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
         nprobe = self.nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.nlist)

@@ -366,3 +366,54 @@ def test_mesh_db_with_ivf_index_end_to_end():
     db.store_embedding(9999, far)
     ids2, _, _ = db.find_most_similar(far, k=2)
     assert ids2[0] == 9999
+
+
+def test_ivf_concurrent_delete_and_search():
+    """Searches run outside the lock against an IVF index that deletes
+    mutate in place: a search must never crash, and ids it returns must
+    resolve consistently (regression: a torn read of the id/valid tables,
+    or fresh tables resolved against pre-delete uid lists, could surface a
+    deleted uid or a mismapped one)."""
+    import threading
+
+    db = _ivf_db(_tmpfile(), ivf_opts={**_IVF_OPTS, "build_threshold": 16,
+                                       "nlist": 8, "rebuild_frac": 10.0})
+    mat = _build_corpus(512, d=24)
+    db.store_embeddings_batch(list(range(512)), mat,
+                              [{"i": i} for i in range(512)])
+    db.find_most_similar(mat[0], k=1)  # build
+    errs = []
+    deleted = set()
+    lock = threading.Lock()
+
+    def deleter():
+        try:
+            for uid in range(0, 200):
+                with lock:
+                    deleted.add(uid)
+                db.delete_embedding(uid)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def searcher():
+        rng = np.random.default_rng(1)
+        try:
+            for _ in range(150):
+                q = mat[rng.integers(200, 512)]
+                ids, _, metas = db.find_most_similar(q, k=5)
+                for uid, md in zip(ids, metas):
+                    assert md["i"] == uid, (uid, md)
+        except Exception as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=searcher) for _ in range(3)]
+    ts.append(threading.Thread(target=deleter))
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    # final state: deleted ids gone, survivors exact
+    for probe in (250, 400, 511):
+        ids, _, _ = db.find_most_similar(mat[probe], k=1)
+        assert ids[0] == probe
+    ids, _, _ = db.find_most_similar(mat[5], k=3)
+    assert 5 not in ids
