@@ -11,6 +11,11 @@ global answer — the classic distributed exact-kNN recipe (SURVEY.md §2c).
 
 All collectives are XLA collectives inside ``jax.shard_map``; there is no
 NCCL/MPI analog to port.
+
+Multi-host pods use a 2-D (dcn, ici) mesh (parallel/mesh.py:pod_mesh) with a
+HIERARCHICAL merge: per-chip top-k lists merge over the host's fast ICI
+links first, and only one k-wide candidate list per host crosses the slow
+DCN — k values+ids per host instead of chips_per_host * k.
 """
 
 from __future__ import annotations
@@ -29,14 +34,9 @@ from minivectordb_tpu.parallel.mesh import SHARD_AXIS
 _MASKED_SCORE = np.float32(-3.0e38)
 
 
-def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None,
-                      use_pallas=False):
-    """Runs per device under shard_map. buf: (C/n, d) local rows.
-
-    ``k`` is the per-shard candidate count (capped at local rows);
-    ``k_final`` is the post-merge width — it may exceed ``k`` (when the
-    requested k is larger than a shard) up to n_devices * k, so a small
-    corpus spread over many devices still returns min(k, count) results.
+def _local_topk(buf, inv_norms, q, count, mask, k, row_base,
+                use_pallas=False):
+    """Per-device top-k over the local row block (runs under shard_map).
 
     An int8 ``buf`` runs the usearch-equivalent quantized cosine per shard
     (query symmetric-quantized in-body, int32-accumulated MXU dot — the
@@ -46,11 +46,8 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None,
     kernels (ops/pallas_scan.py) — the shard-local analog of the
     single-chip fast path: phase-1 subtile maxima never materialize the
     (B, local_rows) score matrix, so per-chip HBM traffic drops ~32x
-    before the ICI all-gather merge."""
+    before the collective merge. Returns (values, GLOBAL ids), (B, k)."""
     local_rows = buf.shape[0]
-    shard = jax.lax.axis_index(SHARD_AXIS)
-    row_base = shard * local_rows
-
     if use_pallas:
         from minivectordb_tpu.ops.pallas_scan import (
             pallas_scan_topk,
@@ -106,17 +103,53 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None,
 
         lvals, lidx = topk_last_axis(scores, k)  # (B, k) local
         lgidx = lidx.astype(jnp.int32) + row_base
+    return lvals, lgidx
 
-    # ICI all-gather of per-shard winners, then a merge top-k on every chip.
-    all_vals = jax.lax.all_gather(lvals, SHARD_AXIS, axis=0)  # (n, B, k)
-    all_idx = jax.lax.all_gather(lgidx, SHARD_AXIS, axis=0)
-    n = all_vals.shape[0]
-    b = all_vals.shape[1]
+
+def _gather_merge(lvals, lgidx, axis_name, k_out):
+    """All-gather per-shard (values, ids) over `axis_name` and merge-top-k."""
+    all_vals = jax.lax.all_gather(lvals, axis_name, axis=0)  # (n, B, k)
+    all_idx = jax.lax.all_gather(lgidx, axis_name, axis=0)
+    n, b, k = all_vals.shape
     flat_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, n * k)
     flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, n * k)
-    mvals, mpos = jax.lax.top_k(flat_vals, min(k_final or k, n * k))
+    mvals, mpos = jax.lax.top_k(flat_vals, min(k_out, n * k))
     midx = jnp.take_along_axis(flat_idx, mpos, axis=-1)
     return mvals, midx
+
+
+def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None,
+                      use_pallas=False, axes=(SHARD_AXIS,)):
+    """Flat mesh: per-shard top-k + one all-gather merge over the row axes.
+
+    ``k`` is the per-shard candidate count (capped at local rows);
+    ``k_final`` is the post-merge width — it may exceed ``k`` (when the
+    requested k is larger than a shard) up to n_devices * k, so a small
+    corpus spread over many devices still returns min(k, count) results."""
+    row_base = jax.lax.axis_index(axes) * buf.shape[0]
+    lvals, lgidx = _local_topk(
+        buf, inv_norms, q, count, mask, k, row_base, use_pallas
+    )
+    return _gather_merge(lvals, lgidx, axes, k_final or k)
+
+
+def _local_scan_merge_pod(buf, inv_norms, q, count, mask, k, k_final=None,
+                          use_pallas=False):
+    """2-D (dcn, ici) pod mesh: hierarchical merge.
+
+    Per-chip top-k lists first merge over the host's fast ICI links; only
+    ONE k_final-wide candidate list per host then crosses the slow DCN
+    (k_final floats+ids per host instead of chips_per_host * k — the
+    multi-host recipe SURVEY.md §5 prescribes)."""
+    from minivectordb_tpu.parallel.mesh import DCN_AXIS, ICI_AXIS
+
+    row_base = jax.lax.axis_index((DCN_AXIS, ICI_AXIS)) * buf.shape[0]
+    lvals, lgidx = _local_topk(
+        buf, inv_norms, q, count, mask, k, row_base, use_pallas
+    )
+    k_out = k_final or k
+    hvals, hidx = _gather_merge(lvals, lgidx, ICI_AXIS, k_out)  # intra-host
+    return _gather_merge(hvals, hidx, DCN_AXIS, k_out)  # cross-host
 
 
 @functools.partial(
@@ -125,19 +158,27 @@ def _local_scan_merge(buf, inv_norms, q, count, mask, k, k_final=None,
 )
 def _dist_scan(mesh: Mesh, buf, inv_norms, q, count, mask, k, k_final,
                has_mask, use_pallas=False):
-    fn = functools.partial(
-        _local_scan_merge, k=k, k_final=k_final, use_pallas=use_pallas
-    )
+    axes = tuple(mesh.axis_names)
+    if len(axes) == 2:
+        # (dcn, ici) pod mesh -> hierarchical merge (intra-host first)
+        fn = functools.partial(
+            _local_scan_merge_pod, k=k, k_final=k_final, use_pallas=use_pallas
+        )
+    else:
+        fn = functools.partial(
+            _local_scan_merge, k=k, k_final=k_final, use_pallas=use_pallas,
+            axes=axes,
+        )
 
     def wrapped(buf, inv_norms, q, count, mask):
         return fn(buf, inv_norms, q, count, mask if has_mask else None)
 
     specs_in = (
-        P(SHARD_AXIS, None),  # buf rows
-        P(SHARD_AXIS),  # inv_norms
+        P(axes, None),  # buf rows (partitioned over ALL mesh axes)
+        P(axes),  # inv_norms
         P(),  # q replicated
         P(),  # count
-        P(SHARD_AXIS) if has_mask else P(),
+        P(axes) if has_mask else P(),
     )
     return jax.shard_map(
         wrapped,
@@ -206,8 +247,9 @@ class DistributedScanIndex:
             cap += self.n - cap % self.n
         padded = np.zeros((cap, self.dim), dtype=np.float32)
         padded[: self.count] = matrix
-        sh = NamedSharding(self.mesh, P(SHARD_AXIS, None))
-        sh1 = NamedSharding(self.mesh, P(SHARD_AXIS))
+        axes = tuple(self.mesh.axis_names)
+        sh = NamedSharding(self.mesh, P(axes, None))
+        sh1 = NamedSharding(self.mesh, P(axes))
         raw = jax.device_put(padded, sh)
         self.bytes_uploaded += padded.nbytes
         if self.device_dtype == "int8":
@@ -326,7 +368,8 @@ class DistSnapshot:
             padded = np.zeros(self.capacity, dtype=bool)
             padded[: mask.shape[0]] = mask
             mask_dev = jax.device_put(
-                padded, NamedSharding(self.mesh, P(SHARD_AXIS))
+                padded,
+                NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
             )
         else:
             mask_dev = jnp.zeros((self.n,), dtype=bool)  # placeholder

@@ -15,6 +15,8 @@ from jax.sharding import Mesh
 SHARD_AXIS = "shards"  # corpus-row partition axis (search DP)
 DP_AXIS = "dp"  # batch axis (training)
 TP_AXIS = "tp"  # hidden/head axis (training tensor parallelism)
+DCN_AXIS = "dcn"  # host axis of a multi-host pod (data-center network)
+ICI_AXIS = "ici"  # chip axis within a host (inter-chip interconnect)
 
 
 def search_mesh(n_devices: int | None = None) -> Mesh:
@@ -25,6 +27,27 @@ def search_mesh(n_devices: int | None = None) -> Mesh:
     import numpy as np
 
     return Mesh(np.asarray(devices), (SHARD_AXIS,))
+
+
+def pod_mesh(n_hosts: int, chips_per_host: int | None = None) -> Mesh:
+    """2-D (dcn, ici) mesh for multi-host pod search: the outer axis spans
+    hosts (slow DCN links), the inner axis the chips of each host (fast
+    ICI). parallel/dist_scan.py's hierarchical merge exploits the split:
+    per-shard top-k lists merge over ICI first, and only ONE k-wide
+    candidate list per host crosses DCN (SURVEY.md §5: 'DCN enters only
+    for multi-host scale-out')."""
+    import numpy as np
+
+    devices = jax.devices()
+    if chips_per_host is None:
+        chips_per_host = len(devices) // n_hosts
+    need = n_hosts * chips_per_host
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:need]).reshape(n_hosts, chips_per_host),
+        (DCN_AXIS, ICI_AXIS),
+    )
 
 
 def train_mesh(n_devices: int | None = None, tp: int = 2) -> Mesh:

@@ -83,3 +83,45 @@ def test_distributed_scan_pallas_impl_matches_xla(dtype):
         pv, pi = pal.search(queries, k, mask=m)
         np.testing.assert_array_equal(ri, pi)
         np.testing.assert_allclose(rv, pv, rtol=1e-5, atol=1e-5)
+
+
+def test_pod_mesh_hierarchical_scan_matches_oracle():
+    """2-D (dcn, ici) pod mesh: per-chip top-k merges over ICI first, then
+    one k-wide list per host crosses DCN — result must equal the numpy
+    oracle exactly (2 hosts x 4 chips emulated on the CPU mesh)."""
+    from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
+    from minivectordb_tpu.parallel.mesh import pod_mesh
+
+    mesh = pod_mesh(2, 4)
+    rng = np.random.default_rng(11)
+    n, d, k = 4000, 48, 12
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    mask = rng.random(n) < 0.4
+
+    index = DistributedScanIndex(mesh, d)
+    index.load(mat)
+    norms = np.linalg.norm(mat, axis=1)
+    for m in (None, mask):
+        vals, idx = index.search(queries, k, mask=m)
+        for b in range(queries.shape[0]):
+            qn = queries[b] / np.linalg.norm(queries[b])
+            oracle = (mat @ qn) / norms
+            cand = np.arange(n) if m is None else np.nonzero(m)[0]
+            order = cand[np.argsort(-oracle[cand])][:k]
+            np.testing.assert_array_equal(np.sort(idx[b]), np.sort(order))
+
+
+def test_pod_mesh_incremental_update():
+    from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
+    from minivectordb_tpu.parallel.mesh import pod_mesh
+
+    mesh = pod_mesh(2, 4)
+    rng = np.random.default_rng(12)
+    idx = DistributedScanIndex(mesh, 16)
+    base = rng.standard_normal((512, 16)).astype(np.float32)
+    idx.load(base)
+    extra = rng.standard_normal((8, 16)).astype(np.float32)
+    idx.update(extra, 512, 520)
+    vals, ids = idx.search(extra[3][None, :], 1)
+    assert ids[0, 0] == 515
