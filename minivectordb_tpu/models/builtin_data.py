@@ -505,7 +505,7 @@ CONCEPTS: dict[str, tuple[tuple[str, ...], list[tuple[str, ...]]]] = {
             ("novel", "novels", "story", "stories", "fiction", "tale",
              "tales"),
             ("design", "designs", "designer", "designers", "graphic"),
-            ("color", "colors", "paint", "paints", "brush", "brushes"),
+            ("paint", "paints", "brush", "brushes", "palette"),
             ("comic", "comics", "cartoon", "cartoons", "animation",
              "anime"),
         ],
@@ -571,6 +571,140 @@ CONCEPTS: dict[str, tuple[tuple[str, ...], list[tuple[str, ...]]]] = {
             ("abroad", "overseas", "foreign", "international"),
             ("guide", "guides", "itinerary", "itineraries", "landmark",
              "landmarks"),
+        ],
+    ),
+    "colors": (
+        ("color", "colors", "colored", "colorful", "hue", "hues", "shade",
+         "shades"),
+        [
+            ("red", "crimson", "scarlet", "maroon"),
+            ("blue", "azure", "teal", "turquoise"),
+            ("green", "emerald", "lime", "olive"),
+            ("yellow", "golden", "amber"),
+            ("purple", "violet", "lavender", "magenta"),
+            ("pink", "rosy", "blush"),
+            ("black", "dark", "darkness"),
+            ("white", "pale", "ivory"),
+            ("brown", "tan", "beige", "khaki"),
+            ("gray", "grey", "silvery"),
+        ],
+    ),
+    "qualities": (
+        ("quality", "qualities", "trait", "traits", "characteristic",
+         "characteristics"),
+        [
+            ("big", "large", "huge", "giant", "enormous", "massive"),
+            ("small", "tiny", "little", "mini", "miniature"),
+            ("tall", "towering", "lofty"),
+            ("wide", "broad", "spacious", "vast"),
+            ("narrow", "slim", "skinny"),
+            ("heavy", "weighty", "hefty"),
+            ("fast", "quick", "rapid", "speedy", "swift"),
+            ("slow", "sluggish", "gradual"),
+            ("strong", "powerful", "mighty", "sturdy"),
+            ("weak", "feeble", "fragile", "flimsy"),
+            ("old", "ancient", "aged", "antique", "vintage"),
+            ("young", "youthful", "juvenile"),
+            ("clean", "spotless", "tidy", "neat"),
+            ("dirty", "messy", "filthy", "grimy"),
+            ("beautiful", "pretty", "gorgeous", "lovely", "elegant"),
+            ("ugly", "hideous", "unsightly"),
+            ("smart", "clever", "intelligent", "wise", "brilliant"),
+            ("foolish", "silly", "absurd", "ridiculous"),
+            ("wealthy", "prosperous", "affluent"),
+            ("dangerous", "risky", "hazardous", "unsafe"),
+            ("safe", "secure", "harmless"),
+            ("easy", "simple", "effortless"),
+            ("difficult", "tough", "tricky", "demanding"),
+            ("cheap", "affordable", "inexpensive", "bargain"),
+            ("expensive", "costly", "pricey", "lavish"),
+            ("loud", "noisy", "deafening"),
+            ("quiet", "silent", "hushed"),
+            ("soft", "smooth", "gentle", "tender"),
+            ("rough", "coarse", "jagged"),
+            ("sharp", "pointed", "keen"),
+            ("bright", "shiny", "glowing", "radiant"),
+            ("dim", "dull", "faded", "murky"),
+        ],
+    ),
+    "actions": (
+        ("action", "actions", "motion", "motions", "movement", "movements"),
+        [
+            ("jump", "jumping", "jumped", "leap", "hop"),
+            ("throw", "throwing", "threw", "toss", "hurl"),
+            ("catch", "catching", "caught", "grab", "grabbed"),
+            ("push", "pushing", "pushed", "shove"),
+            ("pull", "pulling", "pulled", "drag", "tug"),
+            ("lift", "lifting", "lifted", "raise", "hoist"),
+            ("carry", "carrying", "carried", "haul"),
+            ("open", "opened", "opening", "unlock"),
+            ("close", "closed", "shut", "slam"),
+            ("breaking", "broke", "broken", "smash", "shatter"),
+            ("give", "gave", "given", "giving", "donate"),
+            ("take", "took", "taken", "taking", "grasp"),
+            ("buy", "buying", "bought", "purchase", "purchased"),
+            ("sell", "selling", "sold", "resell"),
+            ("help", "helping", "helped", "assist", "assisted"),
+            ("laugh", "laughing", "laughed", "giggle", "chuckle"),
+            ("cry", "crying", "cried", "weep", "sob"),
+            ("smile", "smiling", "smiled", "grin", "grinned"),
+            ("wash", "washing", "washed", "rinse", "scrub"),
+            ("spin", "spinning", "twirl", "rotate", "whirl"),
+            ("climb", "climbed", "ascend", "descend"),
+            ("fall", "falling", "fell", "tumble", "stumble"),
+        ],
+    ),
+    "materials": (
+        ("material", "materials", "substance", "substances", "matter"),
+        [
+            ("wood", "wooden", "timber", "lumber", "plank", "planks"),
+            ("metal", "metallic", "steel", "iron", "aluminum"),
+            ("glass", "crystal", "transparent"),
+            ("plastic", "plastics", "polymer", "vinyl"),
+            ("cotton", "wool", "silk", "fabric", "cloth", "linen"),
+            ("leather", "suede", "hide"),
+            ("brick", "bricks", "concrete", "cement", "mortar"),
+            ("copper", "bronze", "brass", "tin"),
+            ("rubber", "foam", "sponge"),
+            ("clay", "ceramic", "porcelain", "pottery"),
+            ("granite", "quartz", "limestone"),
+            ("wax", "resin", "glue", "adhesive"),
+        ],
+    ),
+    "tools": (
+        ("tool", "tools", "equipment", "gear", "utensil", "utensils"),
+        [
+            ("hammer", "hammers", "mallet"),
+            ("screwdriver", "wrench", "pliers"),
+            ("drill", "drills", "drilling", "grinder"),
+            ("knife", "knives", "blade", "blades", "dagger"),
+            ("scissors", "shears", "clippers"),
+            ("shovel", "spade", "rake", "hoe"),
+            ("ladder", "ladders", "scaffold"),
+            ("rope", "ropes", "cord", "twine"),
+            ("screw", "screws", "bolt", "bolts", "rivet"),
+            ("axe", "hatchet", "machete"),
+            ("needle", "needles", "pin", "pins"),
+            ("bucket", "buckets", "pail", "basket", "baskets"),
+            ("flashlight", "torch", "headlamp"),
+            ("magnet", "magnets", "magnetic"),
+        ],
+    ),
+    "shapes": (
+        ("shape", "shapes", "outline", "outlines", "contour", "contours"),
+        [
+            ("circle", "circles", "round", "circular", "ring"),
+            ("square", "squares", "squared"),
+            ("triangle", "triangles", "triangular"),
+            ("rectangle", "rectangles", "rectangular", "oblong"),
+            ("stripe", "stripes", "striped"),
+            ("curve", "curves", "curved", "bend", "bends"),
+            ("corner", "corners", "edge", "edges", "rim"),
+            ("dot", "dots", "spot", "spots", "speck"),
+            ("cube", "cubes", "sphere", "spheres", "cylinder"),
+            ("spiral", "spirals", "zigzag", "swirl"),
+            ("arrow", "arrows", "cross", "crosses"),
+            ("pattern", "patterns", "grid", "grids", "mosaic"),
         ],
     ),
     "communication": (
