@@ -168,6 +168,8 @@ class SearchEngine:
         Id maps are rebuilt as fresh objects (not mutated in place) so that a
         concurrent search holding a snapshot reference stays consistent.
         """
+        if not unique_ids:
+            return
         rows = sorted(self.inverse_id_map[uid] for uid in unique_ids)
         doomed = set(rows)
         self._dist_dirty_from = min(self._dist_dirty_from, rows[0])

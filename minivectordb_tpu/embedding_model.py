@@ -116,7 +116,14 @@ def _load_bundled_builtin() -> "_JaxEncoder | None":
         return _JaxEncoder(params, cfg, tok, "mean", "")
     except FileNotFoundError:
         return None
-    except Exception:
+    except Exception as exc:
+        # the artifact EXISTS but failed to load: corruption, not absence —
+        # surface the real error so it is distinguishable from a missing file
+        warnings.warn(
+            "minivectordb_tpu: bundled builtin encoder artifact failed to "
+            f"load ({type(exc).__name__}: {exc}); falling back to the seeded "
+            "encoder. The package data may be corrupt or truncated."
+        )
         return None
 
 

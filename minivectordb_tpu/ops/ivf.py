@@ -414,6 +414,11 @@ class IVFSnapshot:
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)
+        if kk <= 0:
+            # every indexed row tombstoned while stale stays under the
+            # rebuild floor: a 0-wide top-k is undefined for the kernels
+            b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
+            return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
         lists, list_ids, list_valid = self.tables
         if jax.default_backend() != "cpu":
             # paged Pallas probe: scalar-prefetched list ids drive the block

@@ -14,8 +14,9 @@ NCCL/MPI analog to port.
 
 Multi-host pods use a 2-D (dcn, ici) mesh (parallel/mesh.py:pod_mesh) with a
 HIERARCHICAL merge: per-chip top-k lists merge over the host's fast ICI
-links first, and only one k-wide candidate list per host crosses the slow
-DCN — k values+ids per host instead of chips_per_host * k.
+links first, so one k-wide candidate list per host (replicated across its
+ICI positions — each ICI column runs the same cross-host all-gather)
+crosses the slow DCN, instead of chips_per_host distinct k-wide lists.
 """
 
 from __future__ import annotations
@@ -137,10 +138,12 @@ def _local_scan_merge_pod(buf, inv_norms, q, count, mask, k, k_final=None,
                           use_pallas=False):
     """2-D (dcn, ici) pod mesh: hierarchical merge.
 
-    Per-chip top-k lists first merge over the host's fast ICI links; only
-    ONE k_final-wide candidate list per host then crosses the slow DCN
-    (k_final floats+ids per host instead of chips_per_host * k — the
-    multi-host recipe SURVEY.md §5 prescribes)."""
+    Per-chip top-k lists first merge over the host's fast ICI links, so a
+    single k_final-wide candidate list per host (replicated across that
+    host's ICI positions — every ICI column runs the same DCN all-gather)
+    then crosses the slow DCN: k_final floats+ids per host per ICI position
+    instead of chips_per_host * k distinct lists — the multi-host recipe
+    SURVEY.md §5 prescribes."""
     from minivectordb_tpu.parallel.mesh import DCN_AXIS, ICI_AXIS
 
     row_base = jax.lax.axis_index((DCN_AXIS, ICI_AXIS)) * buf.shape[0]
@@ -340,6 +343,7 @@ class DistSnapshot:
 
         eligible = (
             local_rows >= 256
+            and local_rows % 256 == 0  # whole 256-row tiles (kernel contract)
             and local_rows % _row_tile(self.buf.shape[1], local_rows) == 0
         )
         if not eligible or os.environ.get("MINIVECTORDB_TPU_DISABLE_PALLAS"):

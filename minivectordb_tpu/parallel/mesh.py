@@ -33,9 +33,10 @@ def pod_mesh(n_hosts: int, chips_per_host: int | None = None) -> Mesh:
     """2-D (dcn, ici) mesh for multi-host pod search: the outer axis spans
     hosts (slow DCN links), the inner axis the chips of each host (fast
     ICI). parallel/dist_scan.py's hierarchical merge exploits the split:
-    per-shard top-k lists merge over ICI first, and only ONE k-wide
-    candidate list per host crosses DCN (SURVEY.md §5: 'DCN enters only
-    for multi-host scale-out')."""
+    per-shard top-k lists merge over ICI first, so one k-wide candidate
+    list per host (replicated per ICI position) crosses DCN instead of
+    chips_per_host distinct lists (SURVEY.md §5: 'DCN enters only for
+    multi-host scale-out')."""
     import numpy as np
 
     devices = jax.devices()

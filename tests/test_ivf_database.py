@@ -417,3 +417,30 @@ def test_ivf_concurrent_delete_and_search():
         assert ids[0] == probe
     ids, _, _ = db.find_most_similar(mat[5], k=3)
     assert 5 not in ids
+
+
+def test_ivf_snapshot_search_all_rows_tombstoned_returns_empty():
+    """ADVICE r2: count==0 snapshot (every indexed row deleted while stale
+    stays under rebuild_floor) must not call the kernels with a 0-wide
+    top-k."""
+    from minivectordb_tpu.ops.ivf import IVFIndex
+
+    mat = _build_corpus(64)
+    idx = IVFIndex(nlist=4, nprobe=4, iters=2)
+    inv = 1.0 / np.linalg.norm(mat, axis=1)
+    idx.build(mat, count=64, inv_norms=inv.astype(np.float32))
+    idx.delete_rows(list(range(64)))
+    snap = idx.snapshot()
+    assert snap.count == 0
+    vals, ids = snap.search(mat[:3], k=5)
+    assert vals.shape == (3, 0) and ids.shape == (3, 0)
+
+
+def test_engine_delete_many_empty_list_is_noop():
+    """ADVICE r2 / VERDICT weak-9: internal delete_many([]) must not crash."""
+    db = _ivf_db(_tmpfile())
+    mat = _build_corpus(8)
+    db.store_embeddings_batch(list(range(8)), mat)
+    db._engine.delete_many([])
+    ids, _, _ = db.find_most_similar(mat[0], k=8)
+    assert len(ids) == 8
