@@ -21,6 +21,7 @@ import numpy as np
 
 from minivectordb_tpu.core.store import VectorStore
 from minivectordb_tpu.filters.engine import (
+    ColumnStore,
     FilterContext,
     MetadataIndex,
     filters_cache_key,
@@ -82,6 +83,7 @@ class SearchEngine:
         self.inverse_id_map: dict = {}  # unique id -> row
         self.metadata: list = []  # row -> metadata dict
         self.meta_index = MetadataIndex()
+        self.columns = ColumnStore()  # row-aligned vectorized filter columns
         self.lock = threading.RLock()
         self.telemetry = Telemetry()
         # (filter-triple key) -> (mask, n_candidates); flushed on mutation.
@@ -103,7 +105,8 @@ class SearchEngine:
         return self.meta_index.inverted_index
 
     def _filter_context(self) -> FilterContext:
-        return FilterContext(self.meta_index, self.inverse_id_map, self.metadata)
+        return FilterContext(self.meta_index, self.inverse_id_map,
+                             self.metadata, self.columns)
 
     # -- mutations (caller holds self.lock) --------------------------------
 
@@ -131,6 +134,7 @@ class SearchEngine:
         self.inverse_id_map[unique_id] = row
         self.metadata.append(metadata_dict)
         self.meta_index.add(unique_id, metadata_dict)
+        self.columns.append(metadata_dict)
         self._version += 1
         return row
 
@@ -159,6 +163,7 @@ class SearchEngine:
         self.metadata.extend(metadata_dicts)
         for uid, md in zip(unique_ids, metadata_dicts):
             self.meta_index.add(uid, md)
+        self.columns.append_many(metadata_dicts)
         self._version += 1
         return rows
 
@@ -185,6 +190,7 @@ class SearchEngine:
         self.uids = new_uids
         self.metadata = new_metadata
         self.inverse_id_map = {uid: i for i, uid in enumerate(new_uids)}
+        self.columns.delete_rows(rows)
         self._on_rows_deleted(rows)
         self._version += 1
 
@@ -200,6 +206,7 @@ class SearchEngine:
         self.inverse_id_map = {}
         self.metadata = []
         self.meta_index = MetadataIndex()
+        self.columns = ColumnStore()
         self._invalidate_ivf()
 
     # -- IVF lifecycle (index='ivf') ----------------------------------------
@@ -336,6 +343,7 @@ class SearchEngine:
             )
         else:
             self.meta_index.rebuild(self.uids, self.metadata)
+        self.columns.rebuild(self.metadata)
         self._version += 1
 
     def _index_snapshot(self):

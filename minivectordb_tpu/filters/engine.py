@@ -32,9 +32,12 @@ key posting list per query.
 
 from __future__ import annotations
 
+import datetime
 import operator
 from collections import defaultdict
 from typing import Any, Iterable
+
+import numpy as np
 
 _OPS = {
     "$gt": operator.gt,
@@ -52,6 +55,232 @@ def _op_func(op: str):
     if fn is None:
         raise ValueError(f"Invalid operator: {op}")
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Row-aligned value columns: vectorized $gt/$gte/$lt/$lte/$ne evaluation.
+#
+# The reference walks every uid in the key's posting list through a Python
+# loop per operator query (reference vector_database.py:238-318) — O(posting
+# list) interpreter work per query, ~1 s-class at 1M rows. Here the engine
+# maintains a float64 column + presence mask per metadata key (numbers,
+# datetimes, dates); an operator query is then a numpy broadcast compare over
+# the column — microseconds at 1M rows.
+#
+# Parity rules (the fast path only fires when it is bit-for-bit equivalent to
+# the reference's Python-loop semantics, else it falls back):
+# - A column is usable only while EVERY stored value under the key has one
+#   comparison kind: all numerics (bool/int/float, ints within +-2^53 so
+#   float64 is exact), all naive datetimes, all aware datetimes, or all
+#   dates. Any other/mixed value poisons the column -> Python fallback,
+#   which raises TypeError on incomparable pairs exactly as the reference's
+#   `operator.gt(value, filter_value)` would.
+# - The filter value must classify to the SAME kind (naive-vs-aware datetime
+#   mismatch falls back so Python raises, matching the reference).
+# - $in and unknown operators always take the fallback (unknown ops raise
+#   ValueError there, reference vector_database.py:174-175).
+# ---------------------------------------------------------------------------
+
+_NP_OPS = {
+    "$gt": np.greater,
+    "$gte": np.greater_equal,
+    "$lt": np.less,
+    "$lte": np.less_equal,
+    "$ne": np.not_equal,
+}
+
+_MAX_EXACT_INT = 1 << 53  # |int| above this is not exact in float64
+_COMPARABLE_KINDS = ("num", "dt_naive", "dt_aware", "date")
+
+
+def _classify(v):
+    """(kind, float64 encoding) for a comparable value, else ('other', None).
+
+    Encodings are strictly monotone within each kind (timestamps for
+    datetimes, ordinals for dates), so numpy ordering == Python ordering."""
+    if isinstance(v, bool):
+        return "num", float(v)
+    if isinstance(v, int):
+        if -_MAX_EXACT_INT <= v <= _MAX_EXACT_INT:
+            return "num", float(v)
+        return "other", None
+    if isinstance(v, float):
+        return "num", v
+    if isinstance(v, datetime.datetime):  # before date: datetime subclasses it
+        kind = "dt_aware" if v.tzinfo is not None else "dt_naive"
+        return kind, v.timestamp()
+    if isinstance(v, datetime.date):
+        return "date", float(v.toordinal())
+    return "other", None
+
+
+class _Column:
+    __slots__ = ("kind", "values", "present")
+
+    def __init__(self):
+        self.kind = None  # None until first value; 'mixed' = unusable
+        self.values: np.ndarray | None = None  # float64, row-aligned
+        self.present: np.ndarray | None = None  # bool, row-aligned
+
+    def usable(self) -> bool:
+        return self.kind in _COMPARABLE_KINDS and self.values is not None
+
+
+class ColumnStore:
+    """Row-aligned per-key columns, maintained by the engine next to its
+    ``metadata`` list. ``count`` mirrors the engine's live row count."""
+
+    __slots__ = ("columns", "count", "_capacity")
+
+    def __init__(self):
+        self.columns: dict[Any, _Column] = {}
+        self.count = 0
+        self._capacity = 0
+
+    def _ensure_capacity(self, need: int) -> None:
+        if need <= self._capacity:
+            return
+        cap = max(64, self._capacity)
+        while cap < need:
+            cap *= 2
+        for col in self.columns.values():
+            if col.values is not None:
+                v = np.zeros(cap, dtype=np.float64)
+                v[: self.count] = col.values[: self.count]
+                col.values = v
+                p = np.zeros(cap, dtype=bool)
+                p[: self.count] = col.present[: self.count]
+                col.present = p
+        self._capacity = cap
+
+    def _set(self, key, row: int, value) -> None:
+        col = self.columns.get(key)
+        kind, fv = _classify(value)
+        if col is None:
+            col = _Column()
+            col.kind = kind
+            self.columns[key] = col
+        elif col.kind != kind:
+            col.kind = "mixed"
+            col.values = None
+            col.present = None
+            return
+        if col.kind not in _COMPARABLE_KINDS:
+            return
+        if col.values is None:
+            col.values = np.zeros(max(self._capacity, 64), dtype=np.float64)
+            col.present = np.zeros(max(self._capacity, 64), dtype=bool)
+            if self._capacity == 0:
+                self._capacity = 64
+        col.values[row] = fv
+        col.present[row] = True
+
+    def append(self, metadata: dict) -> None:
+        row = self.count
+        self._ensure_capacity(row + 1)
+        for key, value in metadata.items():
+            self._set(key, row, value)
+        self.count = row + 1
+
+    def append_many(self, metadatas: Iterable[dict]) -> None:
+        for md in metadatas:
+            self.append(md)
+
+    def delete_rows(self, rows: list[int]) -> None:
+        """Compact out sorted row indices (engine rows compact on delete)."""
+        if not rows:
+            return
+        keep = np.ones(self.count, dtype=bool)
+        keep[rows] = False
+        new_count = int(keep.sum())
+        for col in self.columns.values():
+            if col.values is not None:
+                col.values = col.values[: self.count][keep]
+                col.present = col.present[: self.count][keep]
+        self.count = new_count
+        self._capacity = new_count
+
+    def rebuild(self, metadatas: Iterable[dict]) -> None:
+        self.columns = {}
+        self.count = 0
+        self._capacity = 0
+        self.append_many(metadatas)
+
+    # -- query -------------------------------------------------------------
+
+    def op_mask(self, key, opdict: dict) -> np.ndarray | None:
+        """Row mask for an operator dict over ``key``, or None when the
+        columnar fast path cannot reproduce reference semantics exactly."""
+        col = self.columns.get(key)
+        if col is None:
+            # key never stored -> no row has it -> empty match (exact parity:
+            # the posting list is empty so the reference loop matches nothing)
+            if "$in" in opdict:
+                return None  # $in stays on the fallback path uniformly
+            for op in opdict:
+                if op not in _NP_OPS:
+                    return None  # unknown op must raise in the fallback
+            return np.zeros(self.count, dtype=bool)
+        if not col.usable():
+            return None
+        n = self.count
+        mask = col.present[:n].copy()
+        vals = col.values[:n]
+        for op, opv in opdict.items():
+            fn = _NP_OPS.get(op)
+            if fn is None:
+                return None  # $in or unknown -> fallback
+            kind, fv = _classify(opv)
+            if kind != col.kind:
+                return None  # type mismatch -> fallback (raises like the ref)
+            mask &= fn(vals, fv)
+        return mask
+
+
+# -- set/mask combination helpers -------------------------------------------
+# Candidate collections flow through the evaluator as either a Python set of
+# rows or a row-aligned numpy bool mask; these keep the algebra uniform.
+
+
+def _is_empty(x) -> bool:
+    if x is None:
+        return False
+    if isinstance(x, set):
+        return not x
+    return not x.any()
+
+
+def _and_combine(a, b):
+    if isinstance(a, set) and isinstance(b, set):
+        return a & b
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return a & b
+    s, m = (a, b) if isinstance(a, set) else (b, a)
+    return {r for r in s if r < m.shape[0] and m[r]}
+
+
+def _or_combine(a, b):
+    if isinstance(a, set) and isinstance(b, set):
+        return a | b
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return a | b
+    s, m = (a, b) if isinstance(a, set) else (b, a)
+    out = m.copy()
+    if s:
+        out[np.fromiter(s, dtype=np.int64, count=len(s))] = True
+    return out
+
+
+def _sub_set(a, s: set):
+    """a minus a set of rows."""
+    if isinstance(a, set):
+        return a - s
+    out = a.copy()
+    if s:
+        idx = np.fromiter(s, dtype=np.int64, count=len(s))
+        idx = idx[idx < out.shape[0]]
+        out[idx] = False
+    return out
 
 
 class MetadataIndex:
@@ -121,12 +350,14 @@ class MetadataIndex:
 class FilterContext:
     """Snapshot of the structures a filter evaluation needs."""
 
-    __slots__ = ("index", "inverse_id_map", "metadata_of_row")
+    __slots__ = ("index", "inverse_id_map", "metadata_of_row", "columns")
 
-    def __init__(self, index: MetadataIndex, inverse_id_map: dict, metadata_rows: list):
+    def __init__(self, index: MetadataIndex, inverse_id_map: dict,
+                 metadata_rows: list, columns: ColumnStore | None = None):
         self.index = index
         self.inverse_id_map = inverse_id_map
         self.metadata_of_row = metadata_rows
+        self.columns = columns
 
 
 def _rows_with_key(ctx: FilterContext, key) -> Iterable[tuple[int, dict]]:
@@ -165,9 +396,16 @@ def _equality_rows(ctx: FilterContext, key, value) -> set[int]:
     return rows
 
 
-def _match_condition(ctx: FilterContext, key, value) -> set[int]:
-    """Rows matching one key/value condition (operator dict or equality)."""
+def _match_condition(ctx: FilterContext, key, value):
+    """Rows matching one key/value condition (operator dict or equality).
+
+    Returns either a ``set`` of rows or a row-aligned numpy bool mask (the
+    vectorized operator path); callers combine via the set/mask helpers."""
     if isinstance(value, dict) and value:
+        if ctx.columns is not None:
+            mask = ctx.columns.op_mask(key, value)
+            if mask is not None:
+                return mask
         ops = [( _op_func(op), opv) for op, opv in value.items()]
         out = set()
         for row, md in _rows_with_key(ctx, key):
@@ -178,70 +416,85 @@ def _match_condition(ctx: FilterContext, key, value) -> set[int]:
     return _equality_rows(ctx, key, value)
 
 
-def _apply_and(ctx: FilterContext, and_filters: list[dict], filtered: set | None):
+def _apply_and(ctx: FilterContext, and_filters: list[dict], filtered):
     for f in and_filters:
         for key, value in f.items():
             rows = _match_condition(ctx, key, value)
-            filtered = rows if filtered is None else (filtered & rows)
-            if not filtered:
+            filtered = rows if filtered is None else _and_combine(filtered, rows)
+            if _is_empty(filtered):
                 return filtered
     return filtered
 
 
-def _apply_or(ctx: FilterContext, or_filters: list[dict]) -> set:
-    result: set[int] = set()
+def _apply_or(ctx: FilterContext, or_filters: list[dict]):
+    result = set()
     for f in or_filters:
         for key, value in f.items():
-            result |= _match_condition(ctx, key, value)
+            result = _or_combine(result, _match_condition(ctx, key, value))
     return result
 
 
-def _apply_exclude(ctx: FilterContext, excludes: list[dict], filtered: set) -> set:
+def _apply_exclude(ctx: FilterContext, excludes: list[dict], filtered):
     # Equality-only, like the reference (vector_database.py:320-352): an
-    # operator dict here is compared literally and never matches.
+    # operator dict here is compared literally and thus never matches.
     for f in excludes:
         for key, value in f.items():
-            filtered -= _equality_rows(ctx, key, value)
-            if not filtered:
+            filtered = _sub_set(filtered, _equality_rows(ctx, key, value))
+            if _is_empty(filtered):
                 return filtered
     return filtered
 
 
 class RowSelection:
-    """Lazy candidate-row set.
+    """Lazy candidate-row collection.
 
-    ``rows is None`` means "all live rows" without materializing a set — the
-    reference builds ``set(inverse_id_map.values())`` per query even with no
-    filter (vector_database.py:356), an O(N) Python cost the device scan
-    should never pay. ``excluded`` holds exclude-filter hits and is non-empty
-    only when ``rows is None`` (a concrete include set subtracts eagerly).
+    ``rows`` is one of: ``None`` = "all live rows" without materializing a
+    set (the reference builds ``set(inverse_id_map.values())`` per query even
+    with no filter, vector_database.py:356 — an O(N) Python cost the device
+    scan should never pay); a ``set`` of row indices; or a row-aligned numpy
+    bool mask from the vectorized operator path. ``excluded`` holds
+    exclude-filter hits and is non-empty only when ``rows is None`` (a
+    concrete selection subtracts eagerly).
     """
 
     __slots__ = ("rows", "excluded")
 
-    def __init__(self, rows: set[int] | None, excluded: set[int] | None = None):
+    def __init__(self, rows, excluded: set[int] | None = None):
         self.rows = rows
         self.excluded = excluded or set()
 
     def n_candidates(self, total: int) -> int:
         if self.rows is None:
             return total - len(self.excluded)
+        if isinstance(self.rows, np.ndarray):
+            return int(self.rows.sum())
         return len(self.rows)
 
     def to_mask(self, total: int) -> "np.ndarray | None":
         """Boolean row mask (True = candidate), or None for "all rows"."""
-        import numpy as np
-
         if self.rows is None:
             if not self.excluded:
                 return None
             mask = np.ones(total, dtype=bool)
             mask[np.fromiter(self.excluded, dtype=np.int64, count=len(self.excluded))] = False
             return mask
+        if isinstance(self.rows, np.ndarray):
+            m = self.rows
+            if m.shape[0] == total:
+                return m
+            out = np.zeros(total, dtype=bool)  # defensive: count drift
+            out[: min(total, m.shape[0])] = m[: min(total, m.shape[0])]
+            return out
         mask = np.zeros(total, dtype=bool)
         if self.rows:
             mask[np.fromiter(self.rows, dtype=np.int64, count=len(self.rows))] = True
         return mask
+
+    def to_set(self) -> set[int]:
+        """Materialized row set (only for concrete selections)."""
+        if isinstance(self.rows, np.ndarray):
+            return set(np.nonzero(self.rows)[0].tolist())
+        return self.rows
 
 
 def select_rows(
@@ -255,7 +508,7 @@ def select_rows(
     Mirrors reference ``_get_filtered_indices`` (vector_database.py:354-386)
     semantics: AND -> OR(∩) -> EXCLUDE(−); no clauses at all selects every
     live row (returned as the lazy all-rows sentinel)."""
-    filtered: set[int] | None = None
+    filtered = None
 
     # An empty dict is falsy = "no filter" (reference vector_database.py:354-356);
     # wrap to a list only AFTER the truthiness check.
@@ -266,7 +519,7 @@ def select_rows(
         # A truthy metadata_filter with no conditions (e.g. [{}]) selects
         # nothing, matching the pre-lazy behavior (None here means "no
         # condition ever ran", which only the no-filter path may treat as all).
-        if not filtered:
+        if filtered is None or _is_empty(filtered):
             return RowSelection(set())
 
     if or_filters:
@@ -275,8 +528,8 @@ def select_rows(
         or_filters = [f for f in or_filters if f]
         if or_filters:
             ored = _apply_or(ctx, or_filters)
-            filtered = ored if filtered is None else (filtered & ored)
-            if not filtered:
+            filtered = ored if filtered is None else _and_combine(filtered, ored)
+            if _is_empty(filtered):
                 return RowSelection(set())
 
     if exclude_filter:
@@ -339,4 +592,4 @@ def get_filtered_rows(
     if sel.rows is None:
         all_rows = set(ctx.inverse_id_map.values())
         return all_rows - sel.excluded if sel.excluded else all_rows
-    return sel.rows
+    return sel.to_set()
