@@ -221,14 +221,12 @@ class SearchEngine:
     def _on_rows_deleted(self, rows: list[int]) -> None:
         """Row compaction shifted every global id above a deleted row; keep
         the IVF index alive by tombstoning + remapping its id table in place
-        (ops/ivf.py:delete_rows) instead of discarding the trained k-means.
-        Dead slots accumulate until the rebuild policy in _ensure_ivf fires.
-        The mesh-sharded IVF keeps full invalidation (its lists live
-        resharded across chips)."""
+        (ops/ivf.py:delete_rows for single-device,
+        parallel/dist_ivf.py:delete_rows for mesh-sharded — the packed list
+        tensor stays resident across the mesh) instead of discarding the
+        trained k-means. Dead slots accumulate until the rebuild policy in
+        _ensure_ivf fires."""
         if self._ivf is None and self._ivf_pending_state is None:
-            return
-        if self.mesh is not None:
-            self._invalidate_ivf()
             return
         from minivectordb_tpu.ops.ivf import IVFIndex
 

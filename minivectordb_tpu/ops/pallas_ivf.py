@@ -82,6 +82,131 @@ def _probe_scores(lists, q, probe_ids):
     )(probe_ids, q, lists)
 
 
+# ---------------------------------------------------------------------------
+# Batch-first GROUPED probe (round-3, VERDICT #1).
+#
+# The per-(query, probe) grid above issues B * nprobe tiny (1, d) @ (d, P)
+# matmuls and re-DMAs a list block once PER QUERY probing it — dispatch- and
+# latency-bound (measured ~290 QPS at 1M x 1024, flat across nprobe). The
+# batch-first layout inverts the loop: sort the (query, list) pairs by list
+# ON DEVICE, pack each list's queries into G-wide groups, and give the kernel
+# a grid over GROUPS — each step DMAs one list block ONCE and scores all G of
+# its queries in a single (G, d) @ (d, P) MXU matmul. Per-batch HBM traffic
+# collapses from B*nprobe block reads to ~(#touched lists) block reads, which
+# at large batch approaches ONE corpus sweep regardless of batch size — while
+# compute stays the true sparse B*nprobe*P*d, ~B_eff/B cheaper than exact.
+#
+# All bookkeeping (sort, ranks, group ids, inverse pair->slot map) runs in
+# XLA on device: no host round-trip sits on the hot path.
+# ---------------------------------------------------------------------------
+
+
+def _group_kernel(step_list_ref, gq_ref, lists_ref, out_ref):
+    del step_list_ref  # consumed by the index_map (scalar prefetch)
+    block = lists_ref[0]  # (P, d) — DMA'd per step_list[s]
+    gq = gq_ref[0]  # (G, d) — this step's query group
+    out_ref[0] = jax.lax.dot_general(
+        gq,
+        block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G, P)
+
+
+def _grouped_scores(lists, grouped_q, step_list):
+    """lists (L, P, d); grouped_q (S, G, d) same dtype; step_list (S,) int32.
+    Returns (S, G, P) f32 scores."""
+    l, p, d = lists.shape
+    s, g, _ = grouped_q.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, g, d), lambda ss, ids: (ss, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, d), lambda ss, ids: (ids[ss], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, p), lambda ss, ids: (ss, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        _group_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, g, p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * g * p * d,
+            bytes_accessed=s * (p * d + g * d) * lists.dtype.itemsize
+            + 4 * s * g * p,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(step_list, grouped_q, lists)
+
+
+def _exclusive_cumsum(x):
+    c = jnp.cumsum(x)
+    return jnp.concatenate([jnp.zeros((1,), x.dtype), c[:-1]])
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "group"))
+def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
+                              nprobe, k, group=32):
+    """Batch-first grouped IVF probe. Same contract as pallas_ivf_search."""
+    l, p, d = lists.shape
+    b = q.shape[0]
+    g = int(min(group, max(8, b * nprobe)))
+    qn = q.astype(jnp.float32)
+    qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-30)
+    cscores = jnp.dot(qn, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
+    probe = probe.astype(jnp.int32)
+    qd = qn.astype(lists.dtype)
+
+    # -- device-side grouping bookkeeping (static shapes throughout) --------
+    m = b * nprobe
+    l_flat = probe.reshape(-1)
+    q_flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, nprobe), 0).reshape(-1)
+    )
+    order = jnp.argsort(l_flat)  # pairs sorted by list id
+    ls = l_flat[order]
+    qs = q_flat[order]
+    counts = jax.ops.segment_sum(
+        jnp.ones((m,), jnp.int32), ls, num_segments=l
+    )
+    starts = _exclusive_cumsum(counts)
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[ls]
+    g_in_list = rank // g
+    slot = rank % g
+    gbase = _exclusive_cumsum((counts + g - 1) // g)
+    gid = gbase[ls] + g_in_list  # group id per sorted pair
+    # static step bound: every touched list contributes <=1 partial group,
+    # full groups are bounded by m // g
+    n_steps = int(min(l, m) + m // g)
+    step_list = jnp.zeros((n_steps,), jnp.int32).at[gid].set(ls)
+    step_q = jnp.zeros((n_steps, g), jnp.int32).at[gid, slot].set(qs)
+    # inverse map: pair (b, i) -> (its group, its slot) for selection later
+    inv_gid = jnp.zeros((m,), jnp.int32).at[order].set(gid)
+    inv_slot = jnp.zeros((m,), jnp.int32).at[order].set(slot)
+    pair_step = inv_gid.reshape(b, nprobe)
+    pair_slot = inv_slot.reshape(b, nprobe)
+
+    grouped_q = qd[step_q]  # (S, G, d); pad slots repeat query 0 (discarded)
+    step_scores = _grouped_scores(lists, grouped_q, step_list)  # (S, G, P)
+
+    # -- per-query selection (XLA gathers over small tensors) ---------------
+    svals = step_scores[pair_step, pair_slot]  # (B, nprobe, P)
+    valid = list_valid[probe]  # (B, nprobe, P)
+    gids = list_ids[probe]
+    scores = jnp.where(valid, svals, _MASKED_SCORE).reshape(b, nprobe * p)
+    kk = min(k, nprobe * p)
+    vals, pos = jax.lax.top_k(scores, kk)
+    ids = jnp.take_along_axis(gids.reshape(b, nprobe * p), pos, axis=-1)
+    return vals, ids
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
 def pallas_ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
     """Drop-in for ops/ivf._ivf_search with the paged Pallas probe."""

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from minivectordb_tpu.ops.ivf import _remap_ids_for_deletes
 from minivectordb_tpu.parallel.mesh import SHARD_AXIS
 
 _MASKED_SCORE = np.float32(-3.0e38)
@@ -128,11 +129,20 @@ class DistributedIVFIndex:
         sh1 = NamedSharding(mesh, P(SHARD_AXIS))
         self.nlist = nlist
         self._local_lists = (nlist + pad_lists) // self.n
+        self._sh2 = sh2
         self._cent = jax.device_put(cent, sh2)
         self._cent_live = jax.device_put(jnp.asarray(live), sh1)
-        self._lists = jax.device_put(lists, sh3)
-        self._list_ids = jax.device_put(list_ids, sh2)
-        self._list_valid = jax.device_put(list_valid, sh2)
+        # padded HOST copies of the slot tables: deletes remap these with
+        # pure int32 work and re-upload only the two small tables — the big
+        # sharded list tensor never moves (round-3, VERDICT #7)
+        self._ids_host = np.asarray(list_ids)
+        self._valid_host = np.asarray(list_valid)
+        lists_dev = jax.device_put(lists, sh3)
+        ids_dev = jax.device_put(list_ids, sh2)
+        valid_dev = jax.device_put(list_valid, sh2)
+        # single-attribute tuple swapped wholesale on delete, so a snapshot
+        # taken under the engine lock reads one consistent table version
+        self._tables = (lists_dev, ids_dev, valid_dev)
         # free the single-device copies (state_dict already captured layout)
         ivf._lists = None
         ivf._list_ids = None
@@ -141,26 +151,74 @@ class DistributedIVFIndex:
     def state_dict(self) -> dict:
         return self._state
 
-    def snapshot(self) -> "DistributedIVFIndex":
-        """This index is never mutated in place (the engine rebuilds it
-        wholesale under the lock on any delete), so the object itself is the
-        frozen view — interface parity with IVFIndex.snapshot()."""
-        return self
+    def delete_rows(self, rows) -> int:
+        """Tombstone + remap, mesh edition: same id-table semantics as
+        IVFIndex.delete_rows (ops/ivf.py), but the remapped tables are
+        re-uploaded sharded while the trained centroids AND the packed list
+        tensor stay resident across the mesh — a delete costs O(tables), not
+        a k-means rebuild + reshard."""
+        ids, valid, n_del = _remap_ids_for_deletes(
+            self._ids_host, self._valid_host, rows, self.count
+        )
+        if n_del:
+            self._ids_host = ids
+            self._valid_host = valid
+            ids_dev = jax.device_put(jnp.asarray(ids), self._sh2)
+            valid_dev = jax.device_put(jnp.asarray(valid), self._sh2)
+            self._tables = (self._tables[0], ids_dev, valid_dev)
+            self.count -= n_del
+            # keep the persisted layout in sync (unpadded list rows)
+            self._state["list_ids"] = ids[: self._state["list_ids"].shape[0]]
+            self._state["list_valid"] = valid[
+                : self._state["list_valid"].shape[0]
+            ]
+            self._state["count"] = self.count
+        return n_del
+
+    def snapshot(self) -> "DistIVFSnapshot":
+        """Frozen searchable view (captured under the engine lock): deletes
+        swap self._tables wholesale, so the snapshot's tuple reference stays
+        internally consistent while the scan runs outside the lock."""
+        return DistIVFSnapshot(self)
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+        return self.snapshot().search(queries, k, nprobe)
+
+
+class DistIVFSnapshot:
+    __slots__ = ("mesh", "cent", "cent_live", "tables", "count", "nprobe",
+                 "nlist", "pad_len", "local_lists", "n")
+
+    def __init__(self, owner: "DistributedIVFIndex"):
+        self.mesh = owner.mesh
+        self.cent = owner._cent
+        self.cent_live = owner._cent_live
+        self.tables = owner._tables
+        self.count = owner.count
+        self.nprobe = owner.nprobe
+        self.nlist = owner.nlist
+        self.pad_len = owner.pad_len
+        self.local_lists = owner._local_lists
+        self.n = owner.n
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
         nprobe = self.nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.nlist)
-        p = min(self._local_lists, -(-nprobe // self.n))  # ceil
+        p = min(self.local_lists, -(-nprobe // self.n))  # ceil
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)
+        if kk <= 0:
+            b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
+            return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
         k_local = min(kk, p * self.pad_len)
+        lists, list_ids, list_valid = self.tables
         vals, ids = _dist_ivf_search(
             self.mesh,
-            self._cent,
-            self._cent_live,
-            self._lists,
-            self._list_ids,
-            self._list_valid,
+            self.cent,
+            self.cent_live,
+            lists,
+            list_ids,
+            list_valid,
             q,
             p,
             k_local,

@@ -444,3 +444,40 @@ def test_engine_delete_many_empty_list_is_noop():
     db._engine.delete_many([])
     ids, _, _ = db.find_most_similar(mat[0], k=8)
     assert len(ids) == 8
+
+
+def test_mesh_ivf_delete_remaps_in_place_no_retrain():
+    """Round-3 (VERDICT #7): a delete on a mesh-sharded IVF database must
+    tombstone + remap the sharded id tables, not invalidate/rebuild."""
+    mesh = _mesh_or_skip()
+    from minivectordb_tpu.parallel.dist_ivf import DistributedIVFIndex
+
+    db = VectorDatabase(
+        storage_file=_tmpfile(),
+        mesh=mesh,
+        index="ivf",
+        ivf_opts={**_IVF_OPTS, "build_threshold": 64, "nlist": 16,
+                  "rebuild_frac": 10.0, "rebuild_floor": 10_000},
+    )
+    mat = _build_corpus(512, d=32, clusters=16, seed=4)
+    db.store_embeddings_batch(list(range(512)), mat)
+    db.find_most_similar(mat[0], k=1)  # trigger build
+    eng = db._engine
+    dist = eng._ivf
+    assert isinstance(dist, DistributedIVFIndex)
+    lists_before = dist._tables[0]
+    for uid in range(0, 60):
+        db.delete_embedding(uid)
+    # same wrapper object, same sharded list tensor: no rebuild, no reshard
+    assert eng._ivf is dist
+    assert dist._tables[0] is lists_before
+    assert dist.count == 512 - 60
+    # deleted uids never come back; survivors resolve exactly
+    ids, _, _ = db.find_most_similar(mat[100], k=8)
+    assert ids[0] == 100
+    assert all(uid >= 60 for uid in ids)
+    # snapshot taken before a delete stays internally consistent
+    snap = dist.snapshot()
+    db.delete_embedding(100)
+    vals, rows = snap.search(mat[101][None, :], 5)
+    assert rows.shape == (1, 5)
