@@ -104,10 +104,14 @@ def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
     B * nprobe * P * d floats at once.
     """
     qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    # score centroids BATCHED, exactly like the Pallas paths: a per-query
+    # matvec accumulates in a different order, and near-tied centroid scores
+    # would then flip probe sets between formulations
+    cscores_all = jnp.dot(qn, centroids.T, preferred_element_type=jnp.float32)
+    _, probe_all = jax.lax.top_k(cscores_all, nprobe)  # (B, nprobe)
 
-    def one(query):
-        cscores = jnp.dot(centroids, query, preferred_element_type=jnp.float32)
-        _, probe = jax.lax.top_k(cscores, nprobe)  # (nprobe,)
+    def one(args):
+        query, probe = args
         qd = query.astype(lists.dtype)
 
         def scan_list(list_id):
@@ -131,7 +135,7 @@ def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
         ids = cand_ids.reshape(-1)[pos]
         return vals, ids
 
-    return jax.lax.map(one, qn)
+    return jax.lax.map(one, (qn, probe_all))
 
 
 def _remap_ids_for_deletes(ids, valid, rows, count):
@@ -228,7 +232,15 @@ class IVFIndex:
         # entirely (an empty list can never contain a result). Total slots
         # are then <= ~n * 1.5 + nlist * small.
         counts = np.bincount(assign, minlength=nlist)
-        cap = int(max(8, np.ceil(1.5 * n / max(1, nlist))))
+        # Pad cap: every list block is DMA'd whole at probe time, so padding
+        # waste is pure HBM-bandwidth waste (the round-2 1.5x cap put pad at
+        # 384 for a 244-row average — 57% more bytes per probe). Align the
+        # cap itself to the kernel's 128-row requirement and keep it tight:
+        # oversized lists split into duplicate centroids below.
+        avg = n / max(1, nlist)
+        cap = int(max(8, np.ceil(1.02 * avg)))
+        if cap > 128:
+            cap = (cap + 127) // 128 * 128
         new_centroids = [centroids_np]
         next_id = nlist
         for c in np.nonzero(counts > cap)[0]:
