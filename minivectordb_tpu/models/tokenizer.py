@@ -70,6 +70,16 @@ class WordVocabTokenizer:
         if self._oov_range <= 0:
             raise ValueError("vocab_size too small for word list")
 
+    # (suffix, replacement) morphology rules, tried in order: plural/verb/
+    # adverb inflections reduce to a vocabulary base form, so unseen
+    # inflections of TRAINED words keep their trained semantics instead of
+    # being dropped/hashed (round-3, VERDICT #9).
+    _SUFFIX_RULES = (
+        ("'s", ""), ("ies", "y"), ("ves", "f"), ("es", ""), ("s", ""),
+        ("ing", ""), ("ing", "e"), ("ed", ""), ("ed", "e"),
+        ("er", ""), ("est", ""), ("ly", ""),
+    )
+
     def _id(self, tok: str) -> int:
         known = self._index.get(tok)
         if known is not None:
@@ -77,21 +87,71 @@ class WordVocabTokenizer:
         h = murmur3_32(tok.encode("utf-8"))
         return self._oov_base + (h % self._oov_range)
 
+    def _morph(self, tok: str) -> int | None:
+        """Vocabulary id for a morphological base form of ``tok``, if any."""
+        for suf, repl in self._SUFFIX_RULES:
+            if tok.endswith(suf) and len(tok) - len(suf) >= 3:
+                base = tok[: len(tok) - len(suf)] + repl
+                tid = self._index.get(base)
+                if tid is not None:
+                    return tid
+                # consonant doubling: "running" -> "runn" -> "run"
+                if len(base) >= 4 and base[-1] == base[-2]:
+                    tid = self._index.get(base[:-1])
+                    if tid is not None:
+                        return tid
+        return None
+
+    def _segment(self, tok: str) -> list[int] | None:
+        """Greedy longest-match split into known pieces ("skyblue" ->
+        sky + blue). All-or-nothing: a partial cover returns None."""
+        if len(tok) < 6:
+            return None
+        out: list[int] = []
+        pos = 0
+        while pos < len(tok):
+            best = None
+            for end in range(len(tok), pos + 2, -1):  # pieces of >=3 chars
+                tid = self._index.get(tok[pos:end])
+                if tid is not None:
+                    best = (end, tid)
+                    break
+            if best is None:
+                return None
+            pos, tid = best
+            out.append(tid)
+            if len(out) > 4:
+                return None
+        return out
+
+    def _resolve(self, tok: str) -> list[int]:
+        """Token -> ids: exact, else morphology, else segmentation, else a
+        hashed OOV bucket ([] under drop_oov — a trained embedding is never
+        diluted by an untrained one)."""
+        tid = self._index.get(tok)
+        if tid is not None:
+            return [tid]
+        tid = self._morph(tok)
+        if tid is not None:
+            return [tid]
+        seg = self._segment(tok)
+        if seg is not None:
+            return seg
+        return [] if self.drop_oov else [self._id(tok)]
+
     def encode(self, text: str, max_length: int = 512) -> list[int]:
         toks = _WORD_RE.findall(text.lower())
         ids = [BOS_ID]
         for tok in toks:
-            tid = self._index.get(tok)
-            if tid is None:
-                if self.drop_oov:
-                    continue
-                tid = self._id(tok)
-            ids.append(tid)
+            for tid in self._resolve(tok):
+                ids.append(tid)
+                if len(ids) >= max_length - 1:
+                    break
             if len(ids) >= max_length - 1:
                 break
         if self.drop_oov and len(ids) == 1 and toks:
-            # nothing known: fall back to hashed ids so distinct unknown
-            # texts still embed distinctly
+            # nothing resolvable at all: fall back to hashed ids so distinct
+            # fully-unknown texts still embed deterministically + distinctly
             for tok in toks:
                 ids.append(self._id(tok))
                 if len(ids) >= max_length - 1:
