@@ -270,6 +270,39 @@ def config5_ivf_1m(quick=False):
         }
     r = [results[f"nprobe_{p}"]["recall_at_10"] for p in (8, 32, 64)]
     assert r[0] < r[2], f"recall must rise with nprobe, got {r}"
+
+    # Large-batch sweep: 64-query calls are dominated by the dev-tunnel RTT
+    # in this environment (~50 ms/call), which flattens QPS across nprobe; a
+    # 1024-query batch amortizes it so the public API exposes the kernel's
+    # compute-bound behavior. Recall is still scored on the 64 distinct
+    # queries (the tile repeats them).
+    big = np.tile(queries, (16, 1))
+    for nprobe in (8, 32, 64):
+        db.nprobe = nprobe
+        db.find_most_similar_batch(big, k=10)  # warm/compile
+        t0 = time.perf_counter()
+        res = db.find_most_similar_batch(big, k=10)
+        qps = big.shape[0] / (time.perf_counter() - t0)
+        hits = sum(
+            len(set(res[b][0]) & set(eidx[b].tolist())) for b in range(nq)
+        )
+        results[f"b1024_nprobe_{nprobe}"] = {
+            "qps": qps,
+            "recall_at_10": hits / (10 * nq),
+        }
+    # exact masked scan through the SAME engine/store (identical corpus,
+    # identical public API) — the direct IVF-vs-exact ratio
+    db._engine.index_kind = "flat"
+    for tag, qarr in (("b64", queries), ("b1024", big)):
+        db.find_most_similar_batch(qarr, k=10)  # warm/compile
+        t0 = time.perf_counter()
+        db.find_most_similar_batch(qarr, k=10)
+        results[f"exact_{tag}_qps"] = qarr.shape[0] / (time.perf_counter() - t0)
+    db._engine.index_kind = "ivf"
+    results["ivf_vs_exact_b1024_np32"] = (
+        results["b1024_nprobe_32"]["qps"] / results["exact_b1024_qps"]
+    )
+
     if os.path.exists(path):
         os.remove(path)
     return {"n": n, "d": d, "nlist": nlist, "ingest_s": ingest_s,

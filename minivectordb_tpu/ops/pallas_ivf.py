@@ -102,20 +102,27 @@ def _probe_scores(lists, q, probe_ids):
 
 
 def _group_kernel(step_list_ref, gq_ref, lists_ref, out_ref):
-    del step_list_ref  # consumed by the index_map (scalar prefetch)
-    block = lists_ref[0]  # (P, d) — DMA'd per step_list[s]
-    gq = gq_ref[0]  # (G, d) — this step's query group
-    out_ref[0] = jax.lax.dot_general(
-        gq,
-        block,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (G, P)
+    s = pl.program_id(0)
+
+    # padding steps carry list id -1 (the static group-count bound over-
+    # provisions by up to ~m/g): their index_map clamps to 0 and repeats, so
+    # the pipeline skips the re-fetch, and @pl.when skips the matmul — a
+    # padded step costs a few cycles instead of a full MXU weight load
+    @pl.when(step_list_ref[s] >= 0)
+    def _():
+        block = lists_ref[0]  # (P, d) — DMA'd per step_list[s]
+        gq = gq_ref[0]  # (G, d) — this step's query group
+        out_ref[0] = jax.lax.dot_general(
+            gq,
+            block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, P)
 
 
 def _grouped_scores(lists, grouped_q, step_list):
-    """lists (L, P, d); grouped_q (S, G, d) same dtype; step_list (S,) int32.
-    Returns (S, G, P) f32 scores."""
+    """lists (L, P, d); grouped_q (S, G, d) same dtype; step_list (S,) int32
+    (-1 marks padding steps). Returns (S, G, P) f32 scores."""
     l, p, d = lists.shape
     s, g, _ = grouped_q.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -124,7 +131,8 @@ def _grouped_scores(lists, grouped_q, step_list):
         in_specs=[
             pl.BlockSpec((1, g, d), lambda ss, ids: (ss, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, d), lambda ss, ids: (ids[ss], 0, 0),
+            pl.BlockSpec((1, p, d),
+                         lambda ss, ids: (jnp.maximum(ids[ss], 0), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, g, p), lambda ss, ids: (ss, 0, 0),
@@ -152,7 +160,7 @@ def _exclusive_cumsum(x):
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "group"))
 def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
-                              nprobe, k, group=32):
+                              nprobe, k, group=16):
     """Batch-first grouped IVF probe. Same contract as pallas_ivf_search."""
     l, p, d = lists.shape
     b = q.shape[0]
@@ -185,7 +193,7 @@ def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
     # static step bound: every touched list contributes <=1 partial group,
     # full groups are bounded by m // g
     n_steps = int(min(l, m) + m // g)
-    step_list = jnp.zeros((n_steps,), jnp.int32).at[gid].set(ls)
+    step_list = jnp.full((n_steps,), -1, jnp.int32).at[gid].set(ls)
     step_q = jnp.zeros((n_steps, g), jnp.int32).at[gid, slot].set(qs)
     # inverse map: pair (b, i) -> (its group, its slot) for selection later
     inv_gid = jnp.zeros((m,), jnp.int32).at[order].set(gid)

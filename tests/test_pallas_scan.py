@@ -148,3 +148,24 @@ def test_pallas_scan_exercises_two_level_phase2():
         scores = (mat @ qn) / norms
         oracle = np.argsort(-scores)[:k]
         assert set(idx[b].tolist()) == set(oracle.tolist())
+
+
+def test_pallas_scan_margin0_approx_mode():
+    """margin=0 (the 'approx' search_mode route, core/store.py) gathers only
+    k subtiles in phase 3; with identical f32 precision in both phases the
+    selection argument still holds, so it stays oracle-exact here."""
+    rng = np.random.default_rng(5)
+    n, d, k = 20_000, 32, 8
+    cap = scan_ops.capacity_bucket(n)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    buf = jnp.asarray(np.vstack([mat, np.zeros((cap - n, d), np.float32)]))
+    inv = scan_ops.row_inv_norms(buf)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    vals, idx = pallas_scan_topk(buf, inv, jnp.asarray(q), n, k, margin=0)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    norms = np.linalg.norm(mat, axis=1)
+    for b in range(4):
+        qn = q[b] / np.linalg.norm(q[b])
+        scores = (mat @ qn) / norms
+        oracle = np.argsort(-scores)[:k]
+        assert set(idx[b].tolist()) == set(oracle.tolist())
