@@ -38,17 +38,25 @@ def t(f, iters=10):
 
 for b in (256, 1024):
     q = jax.random.normal(jax.random.PRNGKey(1), (b, D), dtype=jnp.float32)
-    de = t(lambda: pallas_scan_topk(buf, inv, q, N, K))
-    dm = t(lambda: pallas_scan_topk(buf, inv, q, N, K, scan_buf=shadow))
-    # recall of mixed vs exact
-    ev, ei = pallas_scan_topk(buf, inv, q, N, K)
-    mv, mi = pallas_scan_topk(buf, inv, q, N, K, scan_buf=shadow)
-    ei, mi = np.asarray(ei), np.asarray(mi)
-    rec = np.mean(
-        [len(set(ei[i]) & set(mi[i])) / K for i in range(b)]
-    )
-    print(
-        f"B={b}: exact {de*1e3:.2f} ms ({b/de:,.0f} QPS) | "
-        f"mixed {dm*1e3:.2f} ms ({b/dm:,.0f} QPS) | recall@{K} {rec:.4f}",
-        flush=True,
-    )
+    _, ei = pallas_scan_topk(buf, inv, q, N, K)
+    ei = np.asarray(ei)
+
+    def run(label, fn):
+        dt = t(fn)
+        _, idx = fn()
+        idx = np.asarray(idx)
+        rec = np.mean([len(set(ei[i]) & set(idx[i])) / K for i in range(b)])
+        print(f"B={b} {label}: {dt*1e3:.2f} ms ({b/dt:,.0f} QPS) "
+              f"recall@{K} {rec:.4f}", flush=True)
+
+    run("exact_f32        ", lambda: pallas_scan_topk(buf, inv, q, N, K))
+    run("approx_f32 (m=0) ", lambda: pallas_scan_topk(buf, inv, q, N, K,
+                                                      margin=0))
+    for m in (0, 4, 8, 16, 32):
+        run(f"mixed (m={m:<2d})     ",
+            lambda m=m: pallas_scan_topk(buf, inv, q, N, K, scan_buf=shadow,
+                                         margin=m))
+    run("bf16 buf (m=16)  ", lambda: pallas_scan_topk(shadow, inv, q, N, K,
+                                                      margin=16))
+    run("bf16 buf (m=0)   ", lambda: pallas_scan_topk(shadow, inv, q, N, K,
+                                                      margin=0))

@@ -25,6 +25,40 @@ Public API mirrors the reference module-for-module:
 
 __version__ = "0.1.0"
 
+
+def _setup_compilation_cache() -> None:
+    """Persist compiled XLA programs across processes.
+
+    Cold starts pay 20-60 s of compile per program shape on TPU (the
+    round-2 config5 first search spent most of its 210 s there); JAX's
+    persistent compilation cache removes that for every shape seen before.
+    On by default — disable with MINIVECTORDB_TPU_NO_COMPILE_CACHE=1, or
+    point MINIVECTORDB_TPU_COMPILE_CACHE at a shared directory.
+    """
+    import os
+
+    if os.environ.get("MINIVECTORDB_TPU_NO_COMPILE_CACHE"):
+        return
+    path = os.environ.get(
+        "MINIVECTORDB_TPU_COMPILE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "minivectordb_tpu", "xla"
+        ),
+    )
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # don't spend disk on trivial programs; a 1 s floor keeps every
+        # scan/encoder/IVF program while skipping scalar glue
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_setup_compilation_cache()
+
 from minivectordb_tpu.vector_database import VectorDatabase
 from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
 from minivectordb_tpu.sharded_vector_database_usearch import ShardedVectorDatabaseUsearch
