@@ -213,6 +213,25 @@ def run_probes(params, tok, log=print, cfg=None) -> dict:
     pred = np.argmax(mq @ cat_emb.T, axis=1)
     res["hypernym_acc"] = float(np.mean(pred == np.asarray(owners)))
 
+    # cross-lingual dog -> animals: the reference's default model is
+    # MULTILINGUAL (reference embedding_model.py:19,41); each language's
+    # "i like dogs" must rank the English animals sentence first against
+    # the reference scenario corpus (builtin_data MULTILINGUAL extension)
+    xl_queries = [
+        "me gustan los perros",      # es
+        "j'aime les chiens",         # fr
+        "ich mag hunde",             # de
+        "mi piacciono i cani",       # it
+        "eu gosto de cachorros",     # pt
+    ]
+    corpus4 = ["i like animals", "i like cars", "i like programming",
+               "technology is the future"]
+    ce = _embed_many(params, tok, corpus4, cfg=cfg)
+    qe = _embed_many(params, tok, xl_queries, cfg=cfg)
+    res["xlingual_dog_acc"] = float(
+        np.mean(np.argmax(qe @ ce.T, axis=1) == 0)
+    )
+
     for k, v in res.items():
         log(f"  probe {k}: {v}")
     return res
@@ -225,7 +244,11 @@ GATES = {
     "autocut_keeps_all": True,
     "usearch_autocut_keeps_all": True,
 }
-THRESHOLDS = {"heldout_synonym_acc": 0.85, "hypernym_acc": 0.80}
+THRESHOLDS = {
+    "heldout_synonym_acc": 0.85,
+    "hypernym_acc": 0.80,
+    "xlingual_dog_acc": 0.80,
+}
 
 
 def probes_pass(res: dict) -> bool:

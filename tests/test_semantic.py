@@ -177,3 +177,32 @@ def test_semantic_batch_embeddings_match_single():
     batch = np.asarray(model.extract_embeddings_batch(texts))
     singles = np.asarray([model.extract_embeddings(t) for t in texts])
     np.testing.assert_allclose(batch, singles, rtol=1e-5, atol=1e-6)
+
+
+# -- round-3: multilingual default-model contract ----------------------------
+# The reference's default model is a MULTILINGUAL quantized USE (reference
+# embedding_model.py:19,41). The bundled trained encoders carry a curated
+# multilingual concept vocabulary (models/builtin_data.py MULTILINGUAL):
+# each language's "i like dogs" must retrieve the English animals sentence,
+# mirroring the reference semantic scenario across languages.
+
+_XL_QUERIES = [
+    "me gustan los perros",      # es
+    "j'aime les chiens",         # fr
+    "ich mag hunde",             # de
+    "mi piacciono i cani",       # it
+    "eu gosto de cachorros",     # pt
+]
+
+
+@pytest.mark.parametrize("kind", ["builtin", "small", "large", "bgem3"])
+def test_multilingual_similarity_search(kind):
+    model = _model(kind)
+    words = getattr(getattr(model.model, "tokenizer", None), "words", None)
+    if not words or "perros" not in set(words):
+        pytest.skip(f"'{kind}' artifact predates the multilingual corpus")
+    db = _db()
+    _store_sentences(db, model)
+    for q in _XL_QUERIES:
+        ids, _, _ = db.find_most_similar(model.extract_embeddings(q), k=3)
+        assert ids[0] == 1, (q, ids)
