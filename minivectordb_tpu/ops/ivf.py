@@ -100,15 +100,32 @@ def _scatter_lists(data, inv_norms, dest, n, slots, out_dtype):
     out = jnp.zeros((slots, data.shape[1]), out_dtype)
     for lo in range(0, n, _SCATTER_CHUNK):
         hi = min(lo + _SCATTER_CHUNK, n)
-        rows = (data[lo:hi] * inv_norms[lo:hi, None]).astype(out_dtype)
-        out = out.at[dest[lo:hi]].set(rows)
+        rows = data[lo:hi] * inv_norms[lo:hi, None]
+        if out_dtype == jnp.int8:
+            # rows are unit-norm, so a global 127 scale is the usearch-style
+            # symmetric quantizer; per-slot inverse norms (computed after the
+            # scatter) absorb the rounding in the cosine reconstruction
+            rows = jnp.clip(jnp.round(rows * 127.0), -127, 127)
+        out = out.at[dest[lo:hi]].set(rows.astype(out_dtype))
     return out
 
 
+@jax.jit
+def _slot_inv_norms(lists_flat):
+    """1/||int8 slot|| per packed slot (0 for empty slots): the f32 scale
+    that turns the i32 probe dot back into a cosine."""
+    x = lists_flat.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1))
+    return jnp.where(n > 0, 1.0 / jnp.maximum(n, 1e-30), 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
-def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
-    """centroids (L, d); lists (L, P, d) bf16/f32; list_ids (L, P) int32;
-    list_valid (L, P) bool; q (B, d) f32. Returns (B, k) scores + global ids.
+def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k,
+                list_inv=None):
+    """centroids (L, d); lists (L, P, d) bf16/f32/int8; list_ids (L, P)
+    int32; list_valid (L, P) bool; q (B, d) f32; list_inv (L, P) f32 for
+    int8 lists (per-slot cosine reconstruction scale). Returns (B, k)
+    scores + global ids.
 
     Queries are processed via lax.map so the gathered probe set stays at
     (nprobe, P, d) per step — a batched gather would materialize
@@ -120,10 +137,20 @@ def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
     # would then flip probe sets between formulations
     cscores_all = jnp.dot(qn, centroids.T, preferred_element_type=jnp.float32)
     _, probe_all = jax.lax.top_k(cscores_all, nprobe)  # (B, nprobe)
+    if list_inv is not None:
+        # mirror the device int8 path bit-for-bit: quantized query, f32
+        # accumulation (int8 dots fit float32 exactly: 1024 * 127^2 < 2^24)
+        qi = jnp.clip(jnp.round(qn * 127.0), -127, 127)
+        qinv_all = 1.0 / jnp.maximum(
+            jnp.sqrt(jnp.sum(qi * qi, axis=-1)), 1e-30
+        )
+    else:
+        qi = qn
+        qinv_all = jnp.ones((qn.shape[0],), jnp.float32)
 
     def one(args):
-        query, probe = args
-        qd = query.astype(lists.dtype)
+        query, probe, qinv = args
+        qd = query if list_inv is not None else query.astype(lists.dtype)
 
         def scan_list(list_id):
             # contiguous dynamic-slice of one list block (fast DMA; a fancy
@@ -132,7 +159,16 @@ def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
             block = jax.lax.dynamic_index_in_dim(
                 lists, list_id, axis=0, keepdims=False
             )  # (P, d)
-            s = jnp.dot(block, qd, preferred_element_type=jnp.float32)
+            if list_inv is not None:
+                inv_row = jax.lax.dynamic_index_in_dim(
+                    list_inv, list_id, axis=0, keepdims=False
+                )
+                s = jnp.dot(
+                    block.astype(jnp.float32), qd,
+                    preferred_element_type=jnp.float32,
+                ) * inv_row * qinv
+            else:
+                s = jnp.dot(block, qd, preferred_element_type=jnp.float32)
             valid = jax.lax.dynamic_index_in_dim(
                 list_valid, list_id, axis=0, keepdims=False
             )
@@ -146,7 +182,7 @@ def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k):
         ids = cand_ids.reshape(-1)[pos]
         return vals, ids
 
-    return jax.lax.map(one, (qn, probe_all))
+    return jax.lax.map(one, (qi, probe_all, qinv_all))
 
 
 def _remap_ids_for_deletes(ids, valid, rows, count):
@@ -182,6 +218,7 @@ class IVFIndex:
         self._lists = None
         self._list_ids = None
         self._list_valid = None
+        self._list_inv = None  # int8 lists only: per-slot 1/||int8 row||
         self.pad_len = 0
         # count: live vectors == the corpus row-prefix length this index
         # references (each live prefix row occupies exactly one valid slot,
@@ -190,7 +227,11 @@ class IVFIndex:
         self.count = 0
 
     def _lists_dtype(self):
-        return jnp.bfloat16 if self.device_dtype == "bfloat16" else jnp.float32
+        if self.device_dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.device_dtype == "int8":
+            return jnp.int8
+        return jnp.float32
 
     def _upload(self, matrix, count):
         """Returns (data, inv_norms, n) on device. ``matrix`` may be a host
@@ -311,6 +352,14 @@ class IVFIndex:
         )
         d = int(data.shape[1])
         self._lists = lists_flat.reshape(nlist, pad, d)
+        # int8 lists carry a per-slot f32 inverse-norm table (the cosine
+        # reconstruction scale); immutable after build, deletes only touch
+        # ids/valid, so it lives OUTSIDE the atomically-swapped tuple
+        self._list_inv = (
+            _slot_inv_norms(lists_flat).reshape(nlist, pad)
+            if lists_flat.dtype == jnp.int8
+            else None
+        )
         self._list_ids = jnp.asarray(list_ids.reshape(nlist, pad))
         self._list_valid = jnp.asarray(valid.reshape(nlist, pad))
         # single-attribute table tuple: searches run OUTSIDE the owning
@@ -416,7 +465,8 @@ class IVFIndex:
         search bound to a live IVFIndex could resolve freshly-remapped ids
         against pre-delete uid lists."""
         return IVFSnapshot(
-            self.centroids, self._tables, self.count, self.nprobe
+            self.centroids, self._tables, self.count, self.nprobe,
+            self._list_inv,
         )
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
@@ -424,13 +474,14 @@ class IVFIndex:
 
 
 class IVFSnapshot:
-    __slots__ = ("centroids", "tables", "count", "nprobe")
+    __slots__ = ("centroids", "tables", "count", "nprobe", "list_inv")
 
-    def __init__(self, centroids, tables, count, nprobe):
+    def __init__(self, centroids, tables, count, nprobe, list_inv=None):
         self.centroids = centroids
         self.tables = tables
         self.count = count
         self.nprobe = nprobe
+        self.list_inv = list_inv
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
         nprobe = self.nprobe if nprobe is None else nprobe
@@ -449,14 +500,16 @@ class IVFSnapshot:
                 pallas_ivf_search_grouped,
             )
 
-            if q.shape[0] >= 16:
+            if q.shape[0] >= 16 or self.list_inv is not None:
                 # batch-first grouped probe: pairs are sorted by list on
                 # device so each touched list block is DMA'd ONCE per batch
                 # and scored against all its queries in one MXU matmul —
                 # HBM traffic ~ one sweep of the PROBED subset instead of
-                # B * nprobe block reads (round-3 VERDICT #1)
+                # B * nprobe block reads (round-3 VERDICT #1). int8 lists
+                # always take this path (the per-pair kernel is f32/bf16).
                 vals, ids = pallas_ivf_search_grouped(
-                    self.centroids, lists, list_ids, list_valid, q, nprobe, kk
+                    self.centroids, lists, list_ids, list_valid, q, nprobe,
+                    kk, list_inv=self.list_inv,
                 )
             else:
                 # small batches are latency-bound; the per-pair paged kernel
@@ -466,6 +519,7 @@ class IVFSnapshot:
                 )
         else:
             vals, ids = _ivf_search(
-                self.centroids, lists, list_ids, list_valid, q, nprobe, kk
+                self.centroids, lists, list_ids, list_valid, q, nprobe, kk,
+                list_inv=self.list_inv,
             )
         return np.asarray(vals), np.asarray(ids)

@@ -112,12 +112,23 @@ def _group_kernel(step_list_ref, gq_ref, lists_ref, out_ref):
     def _():
         block = lists_ref[0]  # (P, d) — DMA'd per step_list[s]
         gq = gq_ref[0]  # (G, d) — this step's query group
-        out_ref[0] = jax.lax.dot_general(
-            gq,
-            block,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, P)
+        if block.dtype == jnp.int8:
+            # int8 x int8 -> i32 on the MXU (4x the f32 arithmetic rate,
+            # quarter HBM); cosine scales apply in XLA afterwards
+            dots = jax.lax.dot_general(
+                gq,
+                block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out_ref[0] = dots.astype(jnp.float32)
+        else:
+            out_ref[0] = jax.lax.dot_general(
+                gq,
+                block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, P)
 
 
 def _grouped_scores(lists, grouped_q, step_list):
@@ -160,8 +171,12 @@ def _exclusive_cumsum(x):
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "group"))
 def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
-                              nprobe, k, group=16):
-    """Batch-first grouped IVF probe. Same contract as pallas_ivf_search."""
+                              nprobe, k, group=16, list_inv=None):
+    """Batch-first grouped IVF probe. Same contract as pallas_ivf_search.
+
+    list_inv (L, P) f32 is required when lists are int8: the kernel emits
+    raw i32 dots (cast f32) and the cosine is reconstructed afterwards as
+    dot * list_inv[slot] * (1/||int8 query||)."""
     l, p, d = lists.shape
     b = q.shape[0]
     g = int(min(group, max(8, b * nprobe)))
@@ -170,7 +185,13 @@ def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
     cscores = jnp.dot(qn, centroids.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
     probe = probe.astype(jnp.int32)
-    qd = qn.astype(lists.dtype)
+    if lists.dtype == jnp.int8:
+        qi = jnp.clip(jnp.round(qn * 127.0), -127, 127)
+        qinv = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(qi * qi, axis=-1)), 1e-30)
+        qd = qi.astype(jnp.int8)
+    else:
+        qinv = None
+        qd = qn.astype(lists.dtype)
 
     # -- device-side grouping bookkeeping (static shapes throughout) --------
     m = b * nprobe
@@ -206,6 +227,8 @@ def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
 
     # -- per-query selection (XLA gathers over small tensors) ---------------
     svals = step_scores[pair_step, pair_slot]  # (B, nprobe, P)
+    if qinv is not None:
+        svals = svals * list_inv[probe] * qinv[:, None, None]
     valid = list_valid[probe]  # (B, nprobe, P)
     gids = list_ids[probe]
     scores = jnp.where(valid, svals, _MASKED_SCORE).reshape(b, nprobe * p)

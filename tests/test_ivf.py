@@ -77,3 +77,72 @@ def test_ivf_skewed_clusters_bounded_padding():
         oracle = _oracle_topk(mat, q[b], 10)
         hits += len(oracle & set(ids[b].tolist()))
     assert hits / 30 >= 0.8, hits / 30
+
+
+def test_ivf_int8_lists_recall_and_scores():
+    """int8 packed lists (device_dtype='int8'): symmetric 127-scale
+    quantization with per-slot inverse-norm reconstruction. Scores must
+    track f32 cosine within quantization error and recall must stay high."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 3
+    mat = (centers[rng.integers(0, 8, 600)]
+           + rng.standard_normal((600, 32)).astype(np.float32))
+    index = IVFIndex(nlist=8, nprobe=8, iters=5, device_dtype="int8")
+    index.build(mat)
+    assert index._list_inv is not None
+    q = mat[[3, 77, 500]] + 0.05 * rng.standard_normal((3, 32)).astype(
+        np.float32
+    )
+    vals, ids = index.search(q, k=10)  # nprobe = nlist: exhaustive probe
+    hits = 0
+    for b in range(3):
+        oracle = _oracle_topk(mat, q[b], 10)
+        hits += len(oracle & set(ids[b].tolist()))
+        # reconstructed scores are real cosines (within int8 rounding)
+        qn = q[b] / np.linalg.norm(q[b])
+        for s, rid in zip(vals[b], ids[b]):
+            ref = float(mat[rid] @ qn / np.linalg.norm(mat[rid]))
+            assert abs(float(s) - ref) < 0.02, (s, ref)
+    assert hits / 30 >= 0.9, hits / 30
+
+
+def test_ivf_int8_grouped_kernel_matches_xla_path():
+    """The interpreted grouped Pallas kernel (the TPU int8 route) and the
+    XLA fallback must agree bit-for-bit on the same int8 tables."""
+    import jax.numpy as jnp
+
+    from minivectordb_tpu.ops.ivf import _ivf_search
+    from minivectordb_tpu.ops.pallas_ivf import pallas_ivf_search_grouped
+
+    rng = np.random.default_rng(8)
+    mat = rng.standard_normal((400, 16)).astype(np.float32)
+    index = IVFIndex(nlist=4, nprobe=3, iters=4, device_dtype="int8")
+    index.build(mat)
+    lists, list_ids, list_valid = index._tables
+    q = jnp.asarray(rng.standard_normal((5, 16)).astype(np.float32))
+    gv, gi = pallas_ivf_search_grouped(
+        index.centroids, lists, list_ids, list_valid, q, 3, 8,
+        list_inv=index._list_inv,
+    )
+    xv, xi = _ivf_search(
+        index.centroids, lists, list_ids, list_valid, q, 3, 8,
+        list_inv=index._list_inv,
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(xv), rtol=1e-6)
+
+
+def test_ivf_int8_state_roundtrip():
+    """Persisted int8 layout reattaches with the inverse-norm table."""
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((300, 16)).astype(np.float32)
+    index = IVFIndex(nlist=4, nprobe=4, iters=4, device_dtype="int8")
+    index.build(mat)
+    state = index.state_dict()
+    index2 = IVFIndex.from_state(state, mat)
+    assert index2._list_inv is not None
+    q = mat[[5, 100]]
+    v1, i1 = index.search(q, k=5)
+    v2, i2 = index2.search(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
