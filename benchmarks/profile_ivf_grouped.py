@@ -122,6 +122,7 @@ def main():
 
     lists, list_ids, list_valid = idx._tables
     cent = idx.centroids
+    linv = idx._list_inv
 
     for b in [int(x) for x in args.batches.split(",")]:
         q = qall[:b]
@@ -129,7 +130,8 @@ def main():
             row = {}
             for g in [int(x) for x in args.groups.split(",")]:
                 fn = lambda: pallas_ivf_search_grouped(
-                    cent, lists, list_ids, list_valid, q, nprobe, 10, g)
+                    cent, lists, list_ids, list_valid, q, nprobe, 10, g,
+                    list_inv=linv)
                 dt = timeit(fn)
                 row[f"grouped_g{g}_qps"] = round(b / dt, 1)
                 if g == int(args.groups.split(",")[0]):
