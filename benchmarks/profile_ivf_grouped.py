@@ -78,9 +78,11 @@ def main():
     ap.add_argument("--groups", default="32")
     ap.add_argument("--with-old", action="store_true")
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--rescore", action="store_true",
+                    help="two-stage: quantized top-40 then exact f32 rescore")
     args = ap.parse_args()
 
-    from minivectordb_tpu.ops.ivf import IVFIndex
+    from minivectordb_tpu.ops.ivf import IVFIndex, _exact_rescore
     from minivectordb_tpu.ops.pallas_ivf import (
         pallas_ivf_search,
         pallas_ivf_search_grouped,
@@ -129,9 +131,17 @@ def main():
         for nprobe in [int(x) for x in args.nprobes.split(",")]:
             row = {}
             for g in [int(x) for x in args.groups.split(",")]:
-                fn = lambda: pallas_ivf_search_grouped(
-                    cent, lists, list_ids, list_valid, q, nprobe, 10, g,
-                    list_inv=linv)
+                if args.rescore:
+                    fn = lambda: _exact_rescore(
+                        buf, inv, q,
+                        *pallas_ivf_search_grouped(
+                            cent, lists, list_ids, list_valid, q, nprobe,
+                            40, g, list_inv=linv),
+                        10)
+                else:
+                    fn = lambda: pallas_ivf_search_grouped(
+                        cent, lists, list_ids, list_valid, q, nprobe, 10, g,
+                        list_inv=linv)
                 dt = timeit(fn)
                 row[f"grouped_g{g}_qps"] = round(b / dt, 1)
                 if g == int(args.groups.split(",")[0]):

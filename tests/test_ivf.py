@@ -146,3 +146,41 @@ def test_ivf_int8_state_roundtrip():
     v2, i2 = index2.search(q, k=5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+
+def test_ivf_quantized_rescore_returns_exact_scores():
+    """Quantized (int8/bf16) snapshots run the two-stage search: quantized
+    top-K' candidates, then exact f32 rescore against the corpus refs the
+    index retains (ops/ivf.py:_exact_rescore). Returned scores must equal
+    the f32 cosine to float precision — not merely within quantization
+    error — and ranking must match the oracle ranking of the probed set."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 48)).astype(np.float32) * 3
+    mat = (centers[rng.integers(0, 6, 500)]
+           + rng.standard_normal((500, 48)).astype(np.float32))
+    for dtype in ("int8", "bfloat16"):
+        index = IVFIndex(nlist=6, nprobe=6, iters=5, device_dtype=dtype)
+        index.build(mat)
+        assert index._data is not None  # corpus refs retained for rescore
+        q = mat[[10, 200]] + 0.05 * rng.standard_normal((2, 48)).astype(
+            np.float32
+        )
+        vals, ids = index.search(q, k=10)  # exhaustive probe
+        for b in range(2):
+            qn = q[b] / np.linalg.norm(q[b])
+            oracle = _oracle_topk(mat, q[b], 10)
+            assert set(ids[b].tolist()) == oracle, dtype
+            for s, rid in zip(vals[b], ids[b]):
+                ref = float(mat[rid] @ qn / np.linalg.norm(mat[rid]))
+                assert abs(float(s) - ref) < 1e-5, (dtype, s, ref)
+
+
+def test_ivf_f32_lists_skip_rescore():
+    """float32 lists are already exact — no corpus refs, no second stage."""
+    rng = np.random.default_rng(12)
+    mat = rng.standard_normal((300, 16)).astype(np.float32)
+    index = IVFIndex(nlist=4, nprobe=4, iters=3)
+    index.build(mat)
+    assert index._data is None
+    snap = index.snapshot()
+    assert snap.data is None
