@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, reps=3):
+def timeit(fn, reps=None):
+    reps = reps or int(os.environ.get("PROFILE_REPS", "3"))
     jax.block_until_ready(fn())  # compile + warm
     t0 = time.perf_counter()
     out = None
@@ -79,7 +80,9 @@ def main():
     ap.add_argument("--with-old", action="store_true")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--rescore", action="store_true",
-                    help="two-stage: quantized top-40 then exact f32 rescore")
+                    help="two-stage: quantized top-K' then exact f32 rescore")
+    ap.add_argument("--kwide", type=int, default=40,
+                    help="stage-1 candidate width for --rescore")
     args = ap.parse_args()
 
     from minivectordb_tpu.ops.ivf import IVFIndex, _exact_rescore
@@ -113,8 +116,10 @@ def main():
                "pad_len": idx.pad_len, "dtype": args.dtype,
                "build_s": round(build_s, 1)}
 
-    qidx = jnp.asarray(rng.integers(0, n, 1024).astype(np.int32))
-    qall = _make_queries(buf, qidx, 1024, d)
+    max_b = max(int(x) for x in args.batches.split(","))
+    max_b = max(max_b, 1024)
+    qidx = jnp.asarray(rng.integers(0, n, max_b).astype(np.int32))
+    qall = _make_queries(buf, qidx, max_b, d)
     jax.block_until_ready(qall)
 
     # oracle = exact device scan top-10 on the first 256 queries
@@ -136,7 +141,7 @@ def main():
                         buf, inv, q,
                         *pallas_ivf_search_grouped(
                             cent, lists, list_ids, list_valid, q, nprobe,
-                            40, g, list_inv=linv),
+                            args.kwide, g, list_inv=linv),
                         10)
                 else:
                     fn = lambda: pallas_ivf_search_grouped(
