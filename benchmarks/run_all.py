@@ -201,7 +201,9 @@ def config5_ivf_1m(quick=False):
     from minivectordb_tpu.vector_database import VectorDatabase
 
     n, d = (100_000, 256) if quick else (1_000_000, 1024)
-    nlist = 1024 if quick else 4096
+    # nlist 1024 -> pad ~1024: fewer, larger list blocks amortize the probe
+    # kernel's per-step cost (measured best at 1M x 1024, profile_ivf_grouped)
+    nlist = 1024
     rng = np.random.default_rng(3)
     # clustered corpus (IVF on pure-uniform data has no structure to exploit)
     n_centers = 1000
@@ -277,12 +279,14 @@ def config5_ivf_1m(quick=False):
     # compute-bound behavior. Recall is still scored on the 64 distinct
     # queries (the tile repeats them).
     big = np.tile(queries, (16, 1))
-    for nprobe in (8, 32, 64):
+    for nprobe in (4, 8, 32):
         db.nprobe = nprobe
         db.find_most_similar_batch(big, k=10)  # warm/compile
+        iters = 8  # amortize the dev-tunnel per-call sync (~8 ms/call)
         t0 = time.perf_counter()
-        res = db.find_most_similar_batch(big, k=10)
-        qps = big.shape[0] / (time.perf_counter() - t0)
+        for _ in range(iters):
+            res = db.find_most_similar_batch(big, k=10)
+        qps = iters * big.shape[0] / (time.perf_counter() - t0)
         hits = sum(
             len(set(res[b][0]) & set(eidx[b].tolist())) for b in range(nq)
         )
@@ -295,10 +299,17 @@ def config5_ivf_1m(quick=False):
     db._engine.index_kind = "flat"
     for tag, qarr in (("b64", queries), ("b1024", big)):
         db.find_most_similar_batch(qarr, k=10)  # warm/compile
+        iters = 8 if tag == "b1024" else 1
         t0 = time.perf_counter()
-        db.find_most_similar_batch(qarr, k=10)
-        results[f"exact_{tag}_qps"] = qarr.shape[0] / (time.perf_counter() - t0)
+        for _ in range(iters):
+            db.find_most_similar_batch(qarr, k=10)
+        results[f"exact_{tag}_qps"] = (
+            iters * qarr.shape[0] / (time.perf_counter() - t0)
+        )
     db._engine.index_kind = "ivf"
+    results["ivf_vs_exact_b1024_np8"] = (
+        results["b1024_nprobe_8"]["qps"] / results["exact_b1024_qps"]
+    )
     results["ivf_vs_exact_b1024_np32"] = (
         results["b1024_nprobe_32"]["qps"] / results["exact_b1024_qps"]
     )

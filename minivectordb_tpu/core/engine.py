@@ -69,7 +69,12 @@ class SearchEngine:
             "build_threshold": 50_000,
             "rebuild_frac": 0.2,
             "rebuild_floor": 1024,  # min stale rows before a rebuild fires
-            "lists_dtype": "float32",
+            # bf16 lists + exact f32 rescore: recall 1.0 vs the f32 oracle
+            # at 1M x 1024 (benchmarks/profile_ivf_grouped.py) and ~1.5x the
+            # f32-list probe throughput at HALF the list-tensor memory; the
+            # two-stage search makes the quantization observable only
+            # through speed ('int8' quarters the list memory again)
+            "lists_dtype": "bfloat16",
             **(ivf_opts or {}),
         }
         self._ivf = None
@@ -233,6 +238,14 @@ class SearchEngine:
         if self._ivf is not None:
             n_del = self._ivf.delete_rows(rows)
             self._ivf_built_count -= n_del
+            # the remapped slot ids now index POST-compaction rows: rebind
+            # the quantized-path rescore corpus to the compacted buffer
+            # (same lock scope as the remap — snapshots capture a consistent
+            # (tables, corpus) pair either side of it)
+            if n_del and getattr(self._ivf, "_data", None) is not None:
+                buf, inv, _ = self._synced_corpus()
+                self._ivf.refresh_corpus(buf, inv)
+                self.store.pin(self._ivf)
             # overflow rows shifted too — rebuild the overflow store from
             # the compacted suffix (small by the rebuild policy)
             self._start_overflow(self._ivf_built_count)
@@ -283,6 +296,7 @@ class SearchEngine:
                         )
                     )
                 self._ivf_built_count = st["count"]
+                self._pin_ivf_corpus()
                 self._start_overflow(st["count"])
         overflow_rows = self.count - self._ivf_built_count
         stale = overflow_rows + self._ivf_dead_slots
@@ -302,7 +316,16 @@ class SearchEngine:
         self._ivf = self._wrap_ivf(ivf)
         self._ivf_built_count = count
         self._ivf_dead_slots = 0
+        self._pin_ivf_corpus()
         self._start_overflow(count)
+
+    def _pin_ivf_corpus(self) -> None:
+        """Quantized IVF lists retain the store's device buffer as the
+        exact-rescore corpus; pin it so store.sync() never donates it out
+        from under the retained reference (donation is a no-op on the CPU
+        test backend — on TPU a donated array raises on next use)."""
+        if getattr(self._ivf, "_data", None) is not None:
+            self.store.pin(self._ivf)
 
     def _synced_corpus(self):
         """store.sync() + DRAIN the async upload queue, under its own timer.

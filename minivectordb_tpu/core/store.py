@@ -315,6 +315,16 @@ class VectorStore:
                 self._dirty_from = self.count
         return self._buf, self._inv_norms, self.count
 
+    def pin(self, holder) -> None:
+        """Suppress in-place donation of the CURRENT device buffer while
+        ``holder`` is alive (weakref-tracked, like snapshots). Used by the
+        IVF index, which retains the buffer as its exact-rescore corpus:
+        sync() donating that buffer out from under it would invalidate the
+        retained reference (donated jax arrays raise on use). The pin expires
+        naturally the first time sync() replaces the buffer — at that point
+        the holder's reference is to a non-current (never-donated) array."""
+        self._snap_refs.append(weakref.ref(holder))
+
     def snapshot(self) -> "StoreSnapshot":
         """Immutable search snapshot (caller holds the database lock).
 

@@ -119,6 +119,17 @@ def _slot_inv_norms(lists_flat):
     return jnp.where(n > 0, 1.0 / jnp.maximum(n, 1e-30), 0.0)
 
 
+def _rescore_kwide(k: int, lists_dtype) -> int:
+    """Stage-1 candidate width for the two-stage quantized search. Measured
+    at 1M x 1024 (clustered corpus, k=10): bf16 candidates reach recall 1.0
+    with a 4x margin; int8's coarser scores need ~10x before every true
+    neighbor lands inside the candidate set (kwide 40 -> recall 0.978,
+    kwide 100 -> 1.0)."""
+    if lists_dtype == jnp.int8:
+        return max(10 * k, k + 90)
+    return max(4 * k, k + 30)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _exact_rescore(data, inv_norms, q, cand_vals, cand_ids, k):
     """Re-rank quantized-path candidates against the f32 corpus.
@@ -405,6 +416,18 @@ class IVFIndex:
         # resurrect a deleted row under a stale-remapped id)
         self._tables = (self._lists, self._list_ids, self._list_valid)
 
+    def refresh_corpus(self, data, inv_norms) -> None:
+        """Swap the exact-rescore corpus refs (quantized lists only).
+
+        Required after the owning store compacts rows: delete_rows remaps
+        slot ids to post-compaction positions, so the retained build-time
+        buffer no longer lines up with them — rescore would gather the wrong
+        rows. The owner calls this with its freshly-synced (compacted)
+        buffer under its lock, atomically with the id remap."""
+        if self._data is not None:
+            self._data = data
+            self._inv_norms = inv_norms
+
     def delete_rows(self, rows) -> int:
         """Tombstone deleted global rows in place and remap the surviving
         slot ids to their post-compaction positions. Returns the number of
@@ -542,7 +565,7 @@ class IVFSnapshot:
         # anywhere in the top-K' candidate set.
         rescore = self.data is not None and lists.dtype != jnp.float32
         kwide = (
-            min(max(4 * kk, kk + 32), nprobe * int(lists.shape[1]))
+            min(_rescore_kwide(kk, lists.dtype), nprobe * int(lists.shape[1]))
             if rescore
             else kk
         )

@@ -28,26 +28,52 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from minivectordb_tpu.ops.ivf import _remap_ids_for_deletes
+from minivectordb_tpu.ops.ivf import _remap_ids_for_deletes, _rescore_kwide
 from minivectordb_tpu.parallel.mesh import SHARD_AXIS
 
 _MASKED_SCORE = np.float32(-3.0e38)
 
 
-def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid, q,
-                       p, k_local, k_final):
-    """Per-device body under shard_map. cent (L/n, d); lists (L/n, P, d)."""
-    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid,
+                       list_inv, q, p, k_local, k_final):
+    """Per-device body under shard_map. cent (L/n, d); lists (L/n, P, d).
 
-    def one(query):
+    list_inv (L/n, P) f32 is the per-slot cosine reconstruction scale for
+    int8 lists (ops/ivf.py:_slot_inv_norms); for f32/bf16 lists it is a
+    placeholder operand that dead-code-eliminates. A float query must NOT be
+    `astype(int8)` (truncation collapses unit-norm components to {-1,0,1}):
+    mirror the single-device int8 path — symmetric 127-scale rounding with
+    f32 accumulation (exact: 1024 * 127^2 < 2^24)."""
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    int8 = lists.dtype == jnp.int8
+    if int8:
+        qq = jnp.clip(jnp.round(qn * 127.0), -127, 127)
+        qinv = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(qq * qq, axis=-1)), 1e-30)
+    else:
+        qq = qn
+        qinv = jnp.ones((qn.shape[0],), jnp.float32)
+
+    def one(args):
+        query, qd, qiv = args
         cscores = jnp.dot(cent, query, preferred_element_type=jnp.float32)
         cscores = jnp.where(cent_live, cscores, _MASKED_SCORE)
         _, probe = jax.lax.top_k(cscores, p)  # local list indices
-        qd = query.astype(lists.dtype)
 
         def scan_list(lid):
             block = jax.lax.dynamic_index_in_dim(lists, lid, 0, keepdims=False)
-            s = jnp.dot(block, qd, preferred_element_type=jnp.float32)
+            if int8:
+                inv_row = jax.lax.dynamic_index_in_dim(
+                    list_inv, lid, 0, keepdims=False
+                )
+                s = jnp.dot(
+                    block.astype(jnp.float32), qd,
+                    preferred_element_type=jnp.float32,
+                ) * inv_row * qiv
+            else:
+                s = jnp.dot(
+                    block, qd.astype(lists.dtype),
+                    preferred_element_type=jnp.float32,
+                )
             valid = jax.lax.dynamic_index_in_dim(
                 list_valid, lid, 0, keepdims=False
             )
@@ -60,7 +86,7 @@ def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid, q,
         vals, pos = jax.lax.top_k(scores.reshape(-1), k_local)
         return vals, cand_ids.reshape(-1)[pos]
 
-    lvals, lidx = jax.lax.map(one, qn)  # (B, k_local)
+    lvals, lidx = jax.lax.map(one, (qn, qq, qinv))  # (B, k_local)
 
     all_vals = jax.lax.all_gather(lvals, SHARD_AXIS, axis=0)  # (n, B, kl)
     all_idx = jax.lax.all_gather(lidx, SHARD_AXIS, axis=0)
@@ -76,7 +102,7 @@ def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid, q,
     jax.jit, static_argnames=("mesh", "p", "k_local", "k_final")
 )
 def _dist_ivf_search(mesh: Mesh, cent, cent_live, lists, list_ids,
-                     list_valid, q, p, k_local, k_final):
+                     list_valid, list_inv, q, p, k_local, k_final):
     fn = functools.partial(
         _local_probe_merge, p=p, k_local=k_local, k_final=k_final
     )
@@ -89,11 +115,12 @@ def _dist_ivf_search(mesh: Mesh, cent, cent_live, lists, list_ids,
             P(SHARD_AXIS, None, None),  # lists
             P(SHARD_AXIS, None),  # list_ids
             P(SHARD_AXIS, None),  # list_valid
+            P(SHARD_AXIS, None),  # list_inv (int8 cosine scales)
             P(),  # queries replicated
         ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(cent, cent_live, lists, list_ids, list_valid, q)
+    )(cent, cent_live, lists, list_ids, list_valid, list_inv, q)
 
 
 class DistributedIVFIndex:
@@ -119,11 +146,20 @@ class DistributedIVFIndex:
         lists = ivf._lists
         list_ids = ivf._list_ids
         list_valid = ivf._list_valid
+        # int8 lists: per-slot cosine scales travel with their lists; other
+        # dtypes get a zeros placeholder (DCE'd in the kernel) so the
+        # shard_map signature stays uniform
+        list_inv = (
+            ivf._list_inv
+            if ivf._list_inv is not None
+            else jnp.zeros(lists.shape[:2], jnp.float32)
+        )
         if pad_lists:
             cent = jnp.pad(cent, ((0, pad_lists), (0, 0)))
             lists = jnp.pad(lists, ((0, pad_lists), (0, 0), (0, 0)))
             list_ids = jnp.pad(list_ids, ((0, pad_lists), (0, 0)))
             list_valid = jnp.pad(list_valid, ((0, pad_lists), (0, 0)))
+            list_inv = jnp.pad(list_inv, ((0, pad_lists), (0, 0)))
         sh2 = NamedSharding(mesh, P(SHARD_AXIS, None))
         sh3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
         sh1 = NamedSharding(mesh, P(SHARD_AXIS))
@@ -132,6 +168,13 @@ class DistributedIVFIndex:
         self._sh2 = sh2
         self._cent = jax.device_put(cent, sh2)
         self._cent_live = jax.device_put(jnp.asarray(live), sh1)
+        self._list_inv = jax.device_put(list_inv, sh2)
+        # f32 corpus refs for the post-merge exact rescore of quantized
+        # candidates (single-device resident — the store's buffer; gathers
+        # are B x K' rows, tiny next to the sharded probe)
+        self._data = ivf._data
+        self._inv_norms = ivf._inv_norms
+        self._quantized = lists.dtype != jnp.float32
         # padded HOST copies of the slot tables: deletes remap these with
         # pure int32 work and re-upload only the two small tables — the big
         # sharded list tensor never moves (round-3, VERDICT #7)
@@ -150,6 +193,13 @@ class DistributedIVFIndex:
 
     def state_dict(self) -> dict:
         return self._state
+
+    def refresh_corpus(self, data, inv_norms) -> None:
+        """Same contract as IVFIndex.refresh_corpus: rebind the rescore
+        corpus to the post-compaction buffer after a delete's id remap."""
+        if self._quantized and self._data is not None:
+            self._data = data
+            self._inv_norms = inv_norms
 
     def delete_rows(self, rows) -> int:
         """Tombstone + remap, mesh edition: same id-table semantics as
@@ -187,7 +237,8 @@ class DistributedIVFIndex:
 
 class DistIVFSnapshot:
     __slots__ = ("mesh", "cent", "cent_live", "tables", "count", "nprobe",
-                 "nlist", "pad_len", "local_lists", "n")
+                 "nlist", "pad_len", "local_lists", "n", "list_inv", "data",
+                 "inv_norms", "quantized")
 
     def __init__(self, owner: "DistributedIVFIndex"):
         self.mesh = owner.mesh
@@ -200,6 +251,10 @@ class DistIVFSnapshot:
         self.pad_len = owner.pad_len
         self.local_lists = owner._local_lists
         self.n = owner.n
+        self.list_inv = owner._list_inv
+        self.data = owner._data
+        self.inv_norms = owner._inv_norms
+        self.quantized = owner._quantized
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
         nprobe = self.nprobe if nprobe is None else nprobe
@@ -210,7 +265,11 @@ class DistIVFSnapshot:
         if kk <= 0:
             b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
             return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
-        k_local = min(kk, p * self.pad_len)
+        # quantized lists: widen the merged candidate list and rescore it
+        # exactly, same two-stage contract as IVFSnapshot.search
+        rescore = self.quantized and self.data is not None
+        kwide = _rescore_kwide(kk, self.tables[0].dtype) if rescore else kk
+        k_local = min(kwide, p * self.pad_len)
         lists, list_ids, list_valid = self.tables
         vals, ids = _dist_ivf_search(
             self.mesh,
@@ -219,9 +278,16 @@ class DistIVFSnapshot:
             lists,
             list_ids,
             list_valid,
+            self.list_inv,
             q,
             p,
             k_local,
-            kk,
+            kwide,
         )
+        if rescore:
+            from minivectordb_tpu.ops.ivf import _exact_rescore
+
+            vals, ids = _exact_rescore(
+                self.data, self.inv_norms, q, vals, ids, kk
+            )
         return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]
