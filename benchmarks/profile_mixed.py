@@ -1,4 +1,9 @@
-"""Time exact-f32 vs mixed (bf16 phase-1 shadow) at 1M x 384, plus recall."""
+"""Time exact-f32 vs mixed (bf16 phase-1 shadow) at 1M x D, plus recall.
+
+Usage: python benchmarks/profile_mixed.py [D] (default 384). PROFILE_REPS
+controls timing reps (>=16 amortizes the dev-tunnel per-call sync).
+"""
+import os
 import sys
 import time
 
@@ -11,7 +16,8 @@ import numpy as np
 from minivectordb_tpu.ops import scan as scan_ops
 from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk
 
-N, D, K = 1_000_000, 384, 16
+D = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+N, K = 1_000_000, 16
 cap = scan_ops.capacity_bucket(N)
 buf = jax.random.normal(jax.random.PRNGKey(0), (cap, D), dtype=jnp.float32)
 rows = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
@@ -26,7 +32,7 @@ def _sync(r):
     np.asarray(jax.tree.leaves(r)[0])[:1, :1]
 
 
-def t(f, iters=10):
+def t(f, iters=int(os.environ.get('PROFILE_REPS', '10'))):
     r = f()
     _sync(r)
     t0 = time.perf_counter()
