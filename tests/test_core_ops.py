@@ -152,6 +152,58 @@ def test_snapshot_release_restores_donation():
     assert store._may_donate()
 
 
+def test_pin_suppresses_donation_while_holder_alive():
+    """store.pin(holder): quantized IVF indexes retain the store buffer as
+    their exact-rescore corpus; sync() must not donate it while the holder
+    lives (donation errors are invisible on the CPU backend, so the pin
+    contract is asserted directly)."""
+    rng = np.random.default_rng(12)
+    store = VectorStore(8)
+    store.append(rng.normal(size=(32, 8)).astype(np.float32))
+    store.sync()
+
+    class Holder:
+        pass
+
+    h = Holder()
+    store.pin(h)
+    assert not store._may_donate()
+    del h
+    assert store._may_donate()
+
+
+def test_ivf_database_rescore_corpus_tracks_deletes():
+    """Public-API: after deletes on a quantized-IVF database, the remapped
+    slot ids must resolve against the COMPACTED corpus (rescore refs are
+    refreshed atomically with the id remap in _on_rows_deleted)."""
+    import os
+    import uuid
+
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    path = f"/tmp/rescore_del_{uuid.uuid4().hex}.pkl"
+    db = VectorDatabase(
+        storage_file=path, index="ivf",
+        ivf_opts={"build_threshold": 1, "nlist": 4, "iters": 3,
+                  "rebuild_floor": 10_000},
+    )
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(256, 16)).astype(np.float32)
+    db.store_embeddings_batch(list(range(256)), mat)
+    ids, _, _ = db.find_most_similar(mat[200], k=1)
+    assert ids[0] == 200
+    assert getattr(db._engine._ivf, "_data", None) is not None
+    # delete a prefix chunk: every surviving row shifts down by 50
+    for uid in range(50):
+        db.delete_embedding(uid)
+    assert db._engine._ivf is not None, "delete must not discard the index"
+    for probe in (60, 150, 255):
+        ids, _, _ = db.find_most_similar(mat[probe], k=1)
+        assert ids[0] == probe, (probe, ids)
+    if os.path.exists(path):
+        os.remove(path)
+
+
 def test_dist_snapshot_survives_concurrent_update():
     import jax
     from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
