@@ -137,9 +137,9 @@ def bench_tpu(buf, inv):
     scan_buf16 = buf.astype(jnp.bfloat16)  # the 'mixed' phase-1 shadow
     for batch in (QBATCH, 1024):
         q = jax.random.normal(jax.random.PRNGKey(1), (batch, D), dtype=jnp.float32)
-        dt_xla = _time_scan(buf, inv, q, "exact", 10)
-        dt_pallas = _time_pallas(buf, inv, q, 10)
-        dt_mixed = _time_pallas(buf, inv, q, 10, scan_buf=scan_buf16)
+        dt_xla = _time_scan(buf, inv, q, "exact", 16)
+        dt_pallas = _time_pallas(buf, inv, q, 16)
+        dt_mixed = _time_pallas(buf, inv, q, 16, scan_buf=scan_buf16)
         out[f"exact_xla_qps_b{batch}"] = batch / dt_xla
         out[f"exact_pallas_qps_b{batch}"] = batch / dt_pallas
         out[f"mixed_pallas_qps_b{batch}"] = batch / dt_mixed
@@ -148,9 +148,9 @@ def bench_tpu(buf, inv):
     # 'approx' now rides the two-phase Pallas kernel with margin=0 (the XLA
     # ApproxTopK path measured ~3x slower than exact Pallas and was removed
     # from the TPU route — round-2 VERDICT weak #3)
-    dt_approx = _time_pallas(buf, inv, q, 10, margin=0)
+    dt_approx = _time_pallas(buf, inv, q, 16, margin=0)
     buf16 = buf.astype(jnp.bfloat16)
-    dt_bf16 = _time_pallas(buf16, inv, q, 10, margin=0)
+    dt_bf16 = _time_pallas(buf16, inv, q, 16, margin=0)
     dt_single = _time_scan(buf, inv, q[:1], "exact", 20)
     # hardware utilization of the exact scan: phase-1 is a (B, d) x (d, N)
     # f32 matmul, so the honest "how close to speed-of-light" figure is

@@ -352,9 +352,14 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
     maxima = maxima.T  # (bp, C/SUBTILE)
 
     if margin is None:
-        # default: modest oversampling for float wobble; wider net when
-        # phase 1 selects on a rounded (bf16) shadow
-        margin = 2 * k if scan_buf is not None else 16
+        # default: modest oversampling for float wobble. The bf16-shadow
+        # ('mixed') margin was 2*k in round 2, which made the mode SLOWER
+        # than exact f32 (phase-3 gather scales with margin); measured at
+        # 1M x 384/1024 (16-rep amortized), margin 8 keeps recall@16 at
+        # 1.0000 while beating exact by ~15-25% — the margin only needs to
+        # absorb bf16 rounding of SUBTILE MAXIMA (<= 2^-8 relative), not
+        # re-rank the whole tail
+        margin = 8 if scan_buf is not None else 16
     n_sub = min(k + margin, c // SUBTILE)
     sub_idx = _phase2_topk_subtiles(maxima, n_sub)  # (bp, n_sub) subtile ids
 
