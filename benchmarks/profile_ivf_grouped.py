@@ -83,6 +83,10 @@ def main():
                     help="two-stage: quantized top-K' then exact f32 rescore")
     ap.add_argument("--kwide", type=int, default=40,
                     help="stage-1 candidate width for --rescore")
+    ap.add_argument("--selector", default="exact",
+                    choices=("exact", "approx"),
+                    help="stage-1 top-k selector (approx = TPU ApproxTopK; "
+                    "only sane with --rescore)")
     args = ap.parse_args()
 
     from minivectordb_tpu.ops.ivf import IVFIndex, _exact_rescore
@@ -141,7 +145,8 @@ def main():
                         buf, inv, q,
                         *pallas_ivf_search_grouped(
                             cent, lists, list_ids, list_valid, q, nprobe,
-                            args.kwide, g, list_inv=linv),
+                            args.kwide, g, list_inv=linv,
+                            selector=args.selector),
                         10)
                 else:
                     fn = lambda: pallas_ivf_search_grouped(

@@ -585,6 +585,10 @@ class IVFSnapshot:
                 vals, ids = pallas_ivf_search_grouped(
                     self.centroids, lists, list_ids, list_valid, q, nprobe,
                     kwide, list_inv=self.list_inv,
+                    # two-stage search re-sorts candidates exactly, so the
+                    # wide selection only needs SET membership — ApproxTopK
+                    # is much faster than exact top_k at nprobe*P width
+                    selector="approx" if rescore else "exact",
                 )
             else:
                 # small batches are latency-bound; the per-pair paged kernel

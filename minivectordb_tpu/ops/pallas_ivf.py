@@ -169,14 +169,23 @@ def _exclusive_cumsum(x):
     return jnp.concatenate([jnp.zeros((1,), x.dtype), c[:-1]])
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "group"))
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "group", "selector")
+)
 def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
-                              nprobe, k, group=16, list_inv=None):
+                              nprobe, k, group=16, list_inv=None,
+                              selector="exact"):
     """Batch-first grouped IVF probe. Same contract as pallas_ivf_search.
 
     list_inv (L, P) f32 is required when lists are int8: the kernel emits
     raw i32 dots (cast f32) and the cosine is reconstructed afterwards as
-    dot * list_inv[slot] * (1/||int8 query||)."""
+    dot * list_inv[slot] * (1/||int8 query||).
+
+    selector='approx' swaps the final (B, nprobe*P) lax.top_k for TPU
+    ApproxTopK — only meaningful when the caller rescores the candidates
+    exactly afterwards (two-stage search): the rescore re-sorts, so only
+    SET membership matters, and ApproxTopK's recall_target bounds the
+    probability of dropping a true candidate."""
     l, p, d = lists.shape
     b = q.shape[0]
     g = int(min(group, max(8, b * nprobe)))
@@ -233,7 +242,12 @@ def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
     gids = list_ids[probe]
     scores = jnp.where(valid, svals, _MASKED_SCORE).reshape(b, nprobe * p)
     kk = min(k, nprobe * p)
-    vals, pos = jax.lax.top_k(scores, kk)
+    if selector == "approx" and kk < nprobe * p and \
+            jax.default_backend() != "cpu":
+        vals, pos = jax.lax.approx_max_k(scores, kk, recall_target=0.99)
+        pos = pos.astype(jnp.int32)
+    else:
+        vals, pos = jax.lax.top_k(scores, kk)
     ids = jnp.take_along_axis(gids.reshape(b, nprobe * p), pos, axis=-1)
     return vals, ids
 
