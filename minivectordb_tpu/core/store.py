@@ -21,6 +21,7 @@ runtime scalar.
 from __future__ import annotations
 
 import os
+import threading
 import time
 import weakref
 
@@ -51,32 +52,40 @@ _HOST_SCAN_MAX_BATCH = 8
 # so short interactive sessions never pay a scan-program compile.
 _HOST_ALWAYS_BYTES = 8 << 20
 _ROUTER_REFRESH_EVERY = 256
-_ROUTER_FIRST_PROBE = 16  # host calls before the first device probe
+_ROUTER_FIRST_PROBE = 4  # host calls before the (async) device probe
 
 
 class _ScanRouter:
     """Adaptive host-vs-device routing for eligible (small) scans.
 
-    Keeps a wall-time EMA per path; the first two eligible searches prime one
-    path each, after which the faster path serves and the slower one is
-    re-probed every ``_ROUTER_REFRESH_EVERY`` calls so the decision tracks
-    corpus growth and link conditions."""
+    Keeps a wall-time EMA per path. The host path primes first; the device
+    path is primed by a BACKGROUND probe thread (see VectorStore.search) so
+    its one-time program compile — 20-50 s over a remote-TPU link, seconds
+    even locally — never lands on a caller's search (measured: the old
+    in-line first probe put a 49 s compile inside one unlucky query and
+    sank a 100-op mixed benchmark to 0.1 ops/s). After both EMAs exist the
+    faster path serves and the slower one is re-probed every
+    ``_ROUTER_REFRESH_EVERY`` calls so the decision tracks corpus growth
+    and link conditions."""
 
-    __slots__ = ("host_ema", "dev_ema", "n")
+    __slots__ = ("host_ema", "dev_ema", "n", "warming")
 
     def __init__(self):
         self.host_ema = None
         self.dev_ema = None
         self.n = 0
+        self.warming = False
 
     def choose(self) -> str:
         self.n += 1
         if self.host_ema is None:
             return "host"
         if self.dev_ema is None:
-            # defer the first device probe (it pays the scan-program compile)
-            # until the host path has proven it matters
-            return "device" if self.n > _ROUTER_FIRST_PROBE else "host"
+            # host serves until the background probe delivers a device
+            # timing; "probe" asks the caller to LAUNCH that thread
+            if not self.warming and self.n > _ROUTER_FIRST_PROBE:
+                return "probe"
+            return "host"
         fast = "host" if self.host_ema <= self.dev_ema else "device"
         if self.n % _ROUTER_REFRESH_EVERY == 0:
             return "device" if fast == "host" else "host"
@@ -450,6 +459,9 @@ class StoreSnapshot:
             if self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES:
                 return self._host_search(queries, k, mask)
             which = self.router.choose()
+            if which == "probe":
+                self._launch_device_probe(np.shape(queries), k, mode)
+                which = "host"
             t0 = time.perf_counter()
             if which == "host":
                 out = self._host_search(queries, k, mask)
@@ -459,6 +471,36 @@ class StoreSnapshot:
             self.router.record("device", time.perf_counter() - t0)
             return out
         return self._device_search(queries, k, mask, mode)
+
+    def _launch_device_probe(self, qshape, k: int, mode: str) -> None:
+        """Compile + time the device path for this query shape OFF the
+        caller's thread; the caller keeps serving from the host until the
+        probe records a realistic (post-compile) device EMA."""
+        router = self.router
+        router.warming = True
+
+        def probe():
+            try:
+                q = np.zeros(qshape, dtype=np.float32)
+                q.reshape(-1)[0] = 1.0
+                self._device_search(q, k, None, mode)  # compile + warm
+                t0 = time.perf_counter()
+                self._device_search(q, k, None, mode)
+                router.record("device", time.perf_counter() - t0)
+            except Exception:
+                # probe failure must never surface; host keeps serving
+                router.dev_ema = float("inf")
+            finally:
+                router.warming = False
+
+        # NON-daemon: a daemon thread killed mid-compile at interpreter exit
+        # aborts with "FATAL: exception not rethrown" (C++ unwinding through
+        # pthread_exit). A clean join at exit also finishes populating the
+        # persistent compile cache, so only the very first cold-start run
+        # ever waits; with a warm cache the probe is sub-second.
+        threading.Thread(
+            target=probe, name="mvdb-router-probe", daemon=False
+        ).start()
 
     def _device_search(
         self,

@@ -100,7 +100,13 @@ def test_router_probe_schedule():
     r.record("host", 0.001)
     choices = [r.choose() for _ in range(store_mod._ROUTER_FIRST_PROBE)]
     assert choices[:-1] == ["host"] * (store_mod._ROUTER_FIRST_PROBE - 1)
-    assert choices[-1] == "device"
+    # the device path is primed by a BACKGROUND probe ("probe" tells the
+    # caller to launch it and serve this query from the host); while the
+    # probe is in flight the router keeps choosing host
+    assert choices[-1] == "probe"
+    r.warming = True
+    assert r.choose() == "host"
+    r.warming = False
     r.record("device", 0.050)
     # host is faster -> serves; periodic refresh re-probes device
     n_dev = sum(
