@@ -415,10 +415,11 @@ class SearchEngine:
             self._dist_dirty_from = self.count
         return self._dist.snapshot()
 
-    def _snapshot_search(self, snap, q, search_k, mask):
+    def _snapshot_search(self, snap, q, search_k, mask, fetch=True):
         if self.mesh is not None:
             return snap.search(q, search_k, mask=mask)
-        return snap.search(q, search_k, mask, mode=self.search_mode)
+        return snap.search(q, search_k, mask, mode=self.search_mode,
+                           fetch=fetch)
 
     # -- search ------------------------------------------------------------
 
@@ -451,7 +452,8 @@ class SearchEngine:
             self._mask_cache[key] = (mask, n)
         return mask, n
 
-    def _scan(self, q, metadata_filter, exclude_filter, or_filters, k):
+    def _scan(self, q, metadata_filter, exclude_filter, or_filters, k,
+              fetch=True):
         """Shared search core: filter + snapshot under the lock, device scan
         outside it. Returns (vals, idx, uids, metadata) or None when the
         candidate set is empty.
@@ -510,7 +512,8 @@ class SearchEngine:
                     idx = np.take_along_axis(idx, order, axis=1)
             return vals, idx, uids, metadata
         with self.telemetry.timed("device_scan"):
-            vals, idx = self._snapshot_search(snap, q, search_k, mask)
+            vals, idx = self._snapshot_search(snap, q, search_k, mask,
+                                              fetch=fetch)
         return vals, idx, uids, metadata
 
     @staticmethod
@@ -578,6 +581,64 @@ class SearchEngine:
             self._format_hits(vals[b], idx[b], uids, metadata, return_distances)
             for b in range(q.shape[0])
         ]
+
+    def search_batch_async(
+        self,
+        embeddings,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+        return_distances: bool = False,
+    ) -> "PendingSearch":
+        """Pipelined batched search: dispatches the device program and
+        returns immediately with a PendingSearch; the device->host result
+        transfer and host-side formatting happen at .result(). Several
+        in-flight PendingSearch objects pipeline their dispatches on the
+        device (and on a remote-TPU link, overlap its per-call transfer
+        latency), which a synchronous call serializes. Snapshot-consistent:
+        results reflect the corpus at dispatch time regardless of
+        mutations before .result()."""
+        q = np.asarray(embeddings, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.store is None or self.count == 0:
+            return PendingSearch(lambda: [([], [], [])] * q.shape[0])
+        res = self._scan(q, metadata_filter, exclude_filter, or_filters, k,
+                         fetch=False)
+        if res is None:
+            return PendingSearch(lambda: [([], [], [])] * q.shape[0])
+        vals, idx, uids, metadata = res
+        nq = q.shape[0]
+
+        def materialize():
+            v = np.asarray(vals)  # blocks until the device program drains
+            i = np.asarray(idx)
+            return [
+                self._format_hits(v[b], i[b], uids, metadata,
+                                  return_distances)
+                for b in range(nq)
+            ]
+
+        return PendingSearch(materialize)
+
+
+class PendingSearch:
+    """Handle for an in-flight search (engine.search_batch_async): call
+    .result() to drain the device transfer and get the formatted hits.
+    Idempotent — the materialized result is cached."""
+
+    __slots__ = ("_materialize", "_out")
+
+    def __init__(self, materialize):
+        self._materialize = materialize
+        self._out = None
+
+    def result(self):
+        if self._out is None:
+            self._out = self._materialize()
+            self._materialize = None
+        return self._out
 
 
 def autocut_scores(score_list):

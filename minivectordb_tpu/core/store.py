@@ -453,8 +453,22 @@ class StoreSnapshot:
         k: int,
         mask: np.ndarray | None = None,
         mode: str = "exact",
+        fetch: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """fetch=False defers the device->host result transfer: returns
+        device arrays the caller materializes later (np.asarray), so many
+        dispatches can pipeline on the device/link before one drain. Host
+        paths return numpy either way (already materialized)."""
         batch = 1 if np.ndim(queries) == 1 else int(np.shape(queries)[0])
+        if not fetch:
+            # async callers pipeline on the device; only the tiny-corpus
+            # always-host shortcut stays (it is faster than any dispatch)
+            if (
+                self._host_eligible(mode, batch)
+                and self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES
+            ):
+                return self._host_search(queries, k, mask)
+            return self._device_search(queries, k, mask, mode, fetch=False)
         if self._host_eligible(mode, batch):
             if self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES:
                 return self._host_search(queries, k, mask)
@@ -508,6 +522,7 @@ class StoreSnapshot:
         k: int,
         mask: np.ndarray | None = None,
         mode: str = "exact",
+        fetch: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kb = scan_ops.k_bucket(k, self.dev_capacity)
@@ -545,6 +560,9 @@ class StoreSnapshot:
             vals, idx = scan_ops.scan_topk(
                 self.buf, self.inv_norms, q, self.count, kb, mask_dev, mode
             )
+        if not fetch:
+            # device-resident slices; the caller drains with np.asarray
+            return vals[:, :k], idx[:, :k]
         vals = np.asarray(vals)[:, :k]
         idx = np.asarray(idx)[:, :k]
         return vals, idx

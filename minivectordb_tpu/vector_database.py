@@ -231,6 +231,28 @@ class VectorDatabase:
             k=k,
         )
 
+    def find_most_similar_batch_async(
+        self,
+        embeddings,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+    ):
+        """Pipelined batched search: returns a handle immediately; call
+        ``.result()`` for the list of (ids, distances, metadatas) triples.
+        Several in-flight handles overlap their device dispatches and
+        result transfers — on serving paths this recovers the raw kernel
+        throughput that per-call synchronous drains forfeit. Results are
+        snapshot-consistent as of dispatch time."""
+        return self._engine.search_batch_async(
+            embeddings,
+            metadata_filter=metadata_filter,
+            exclude_filter=exclude_filter,
+            or_filters=or_filters,
+            k=k,
+        )
+
     # -- rerank / autocut --------------------------------------------------
 
     def hybrid_rerank_results(self, sentences, search_scores, query, k=5,

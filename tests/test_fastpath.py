@@ -117,7 +117,7 @@ def test_search_does_not_hold_lock_during_scan(tmp_path):
     insert_done = threading.Event()
     orig = SearchEngine._snapshot_search
 
-    def blocking_search(self, snap, q, k, mask):
+    def blocking_search(self, snap, q, k, mask, fetch=True):
         # runs outside the lock: a locked insert must be able to proceed now
         t = threading.Thread(
             target=db.store_embedding, args=(1000, np.ones(16, np.float32))
@@ -146,7 +146,7 @@ def test_concurrent_delete_during_scan_returns_consistent_rows(tmp_path):
     eng = db._engine
     orig = SearchEngine._snapshot_search
 
-    def deleting_search(self, snap, q, k, mask):
+    def deleting_search(self, snap, q, k, mask, fetch=True):
         t = threading.Thread(target=db.delete_embedding, args=(0,))
         t.start()
         t.join(timeout=5)
@@ -237,3 +237,34 @@ def test_mesh_int8_parity_with_single_device():
         assert list(ids_s) == list(ids_m)
         np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_m),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_batch_async_matches_sync_and_is_snapshot_consistent():
+    """find_most_similar_batch_async: same results as the sync batch call,
+    pipelines multiple in-flight handles, and a mutation between dispatch
+    and result() does not leak into the already-dispatched search."""
+    import numpy as np
+
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    import uuid
+
+    db = VectorDatabase(storage_file=f"/tmp/_async_{uuid.uuid4().hex}.pkl")
+    rng = np.random.default_rng(21)
+    mat = rng.normal(size=(512, 32)).astype(np.float32)
+    db.store_embeddings_batch(list(range(512)), mat)
+    q = mat[:8] + 0.01
+
+    sync = db.find_most_similar_batch(q, k=5)
+    handles = [db.find_most_similar_batch_async(q, k=5) for _ in range(3)]
+    # mutate AFTER dispatch: a new best-match row for query 0
+    db.store_embedding("fresh", q[0], {})
+    for h in handles:
+        got = h.result()
+        assert got == h.result()  # idempotent / cached
+        for b in range(8):
+            assert list(got[b][0]) == list(sync[b][0])
+            assert "fresh" not in got[b][0]
+    # a search dispatched after the mutation sees the new row
+    after = db.find_most_similar_batch_async(q, k=5).result()
+    assert after[0][0][0] == "fresh"
