@@ -250,6 +250,18 @@ def bench_public_api(mat):
         run_batch()
     out["db_batch_qps"] = QBATCH * iters / (time.perf_counter() - t)
 
+    # pipelined: N async handles in flight overlap dispatch + result
+    # transfer (the sync loop serializes a full per-call round trip)
+    db.find_most_similar_batch_async(q, k=K).result()  # warm
+    t = time.perf_counter()
+    piters = 16
+    handles = [db.find_most_similar_batch_async(q, k=K) for _ in range(piters)]
+    for h in handles:
+        h.result()
+    out["db_batch_qps_pipelined"] = (
+        QBATCH * piters / (time.perf_counter() - t)
+    )
+
     # raw kernel measured the same synchronous way on the same device buffer
     snap = db._engine.store.snapshot()
     qd = jnp.asarray(q)
@@ -259,6 +271,9 @@ def bench_public_api(mat):
         snap.search(qd, K)
     out["raw_sync_qps"] = QBATCH * iters / (time.perf_counter() - t)
     out["api_efficiency"] = out["db_batch_qps"] / out["raw_sync_qps"]
+    out["api_efficiency_pipelined"] = (
+        out["db_batch_qps_pipelined"] / out["raw_sync_qps"]
+    )
 
     # filtered search (10% selectivity): first call builds + caches the mask
     run_batch(metadata_filter={"par": 3})
