@@ -340,6 +340,26 @@ class ShardedVectorDatabase:
             return_distances=self._device_dtype == "int8",
         )
 
+    def find_most_similar_batch_async(
+        self,
+        embeddings,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+    ):
+        """Pipelined batched search (see VectorDatabase
+        .find_most_similar_batch_async): returns a PendingSearch handle;
+        in-flight handles overlap device dispatch + result transfer."""
+        return self._engine.search_batch_async(
+            embeddings,
+            metadata_filter=metadata_filter,
+            exclude_filter=exclude_filter,
+            or_filters=or_filters,
+            k=k,
+            return_distances=self._device_dtype == "int8",
+        )
+
     # -- rerank / autocut --------------------------------------------------
 
     def hybrid_rerank_results(self, sentences, search_scores, query, k=5,
