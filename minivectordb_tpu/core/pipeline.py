@@ -106,25 +106,42 @@ class TextSearchPipeline:
                 out = [([], [], [])] * len(texts)
                 return out[0] if single else out
             search_k = min(k, n_candidates)
-            buf, inv_norms, count = eng.store.sync()
+            snap = eng.store.snapshot()
             uids, metadata = eng.uids, eng.metadata
 
-        row_mask = None
-        if mask is not None:
-            padded = np.zeros(buf.shape[0], dtype=bool)
-            padded[: mask.shape[0]] = mask
-            row_mask = jnp.asarray(padded)
-        from minivectordb_tpu.ops.scan import k_bucket
+        # Tiny-corpus shortcut: below the store's always-host byte bound a
+        # host scan beats any device dispatch, so pay neither the fused
+        # program's compile nor its round-trip — embed through the encoder's
+        # own adaptive host/device router, scan on the host. 'mixed' is
+        # f32-authoritative after rescore, so host-exact is identical there.
+        from minivectordb_tpu.core.store import _HOST_ALWAYS_BYTES
 
-        kb = k_bucket(search_k, buf.shape[0])
-        _, vals, idx = embed_search_program(
-            enc.params, enc.cfg,
-            jnp.asarray(ids_arr), jnp.asarray(mask_arr),
-            buf, inv_norms, count, kb,
-            enc.pooling, row_mask, eng.search_mode,
-        )
-        vals = np.asarray(vals)[:, :search_k]
-        idx = np.asarray(idx)[:, :search_k]
+        if (
+            eng.search_mode in ("exact", "mixed")
+            and snap._host_eligible("exact", len(texts))
+            and snap.count * snap.dim_bytes <= _HOST_ALWAYS_BYTES
+        ):
+            q = enc.embed(texts)
+            vals, idx = snap._host_search(q, search_k, mask)
+        else:
+            row_mask = None
+            if mask is not None:
+                padded = np.zeros(snap.buf.shape[0], dtype=bool)
+                padded[: mask.shape[0]] = mask
+                row_mask = jnp.asarray(padded)
+            from minivectordb_tpu.ops.scan import k_bucket
+
+            kb = k_bucket(search_k, snap.buf.shape[0])
+            _, vals, idx = embed_search_program(
+                enc.params, enc.cfg,
+                jnp.asarray(ids_arr), jnp.asarray(mask_arr),
+                snap.buf, snap.inv_norms, snap.count, kb,
+                enc.pooling, row_mask, eng.search_mode,
+            )
+            vals = np.asarray(vals)[:, :search_k]
+            idx = np.asarray(idx)[:, :search_k]
+        vals = vals[:, :search_k]
+        idx = idx[:, :search_k]
 
         results = []
         for b in range(len(texts)):

@@ -28,6 +28,8 @@ TPU-first upgrades over the reference:
 from __future__ import annotations
 
 import os
+import threading
+import time
 import warnings
 from enum import Enum
 
@@ -37,10 +39,28 @@ import jax.numpy as jnp
 from minivectordb_tpu.models import configs as model_configs
 from minivectordb_tpu.models.encoder import (
     embed_program,
+    embed_program_host,
     init_params,
     seq_bucket,
 )
 from minivectordb_tpu.models.tokenizer import load_tokenizer
+
+# Single-text/small-batch embeds may run on the HOST (cpu backend) instead
+# of the device: the compact bundled encoders (2 layers) are well under a
+# millisecond of host sgemm, while a device dispatch through a remote-TPU
+# link costs ~10-50 ms (the same economics as the store's host BLAS scan
+# fallback, core/store.py). 0 disables host embedding.
+_HOST_EMBED_MAX_BATCH = int(
+    os.environ.get("MINIVECTORDB_TPU_HOST_EMBED_BATCH", 8)
+)
+# Host eligibility is bounded by model size: one embed forward is
+# ~ 2 * layers * (4*hidden^2 + 2*hidden*intermediate + seq*hidden) FLOPs
+# per token; beyond ~4 compact layers a real checkpoint (12-24 layers,
+# 250k vocab) is device-bound even over a slow link, and probing the host
+# would waste hundreds of ms per call while the router warms.
+_HOST_EMBED_MAX_LAYERS = 4
+_HOST_EMBED_MAX_HIDDEN = 1024
+_HOST_EMBED_MAX_VOCAB = 65536
 
 
 class AlternativeModel(str, Enum):
@@ -50,7 +70,14 @@ class AlternativeModel(str, Enum):
 
 
 class _JaxEncoder:
-    """Bundles params + config + tokenizer + pooling into one callable."""
+    """Bundles params + config + tokenizer + pooling into one callable.
+
+    Small-batch embeds are adaptively routed between the device and a
+    host-(cpu-backend-)compiled copy of the same program (the encoder
+    analog of the store's host BLAS scan fallback, VERDICT r2 #3): for the
+    compact bundled encoders a single-text forward is sub-ms on the host,
+    while a device dispatch over a remote link is tens of ms. The router
+    (core.store._ScanRouter) times both paths and keeps the winner."""
 
     def __init__(self, params, cfg, tokenizer, pooling: str, prefix: str = ""):
         self.params = params
@@ -58,13 +85,80 @@ class _JaxEncoder:
         self.tokenizer = tokenizer
         self.pooling = pooling
         self.prefix = prefix
+        self._host_params = None
+        self._host_params_src = None  # identity of params the host copy mirrors
+        from minivectordb_tpu.core.store import _ScanRouter
 
-    def embed(self, texts: list[str], max_length: int = 512) -> np.ndarray:
+        self._router = _ScanRouter()
+
+    def _host_capable(self) -> bool:
+        import jax
+
+        return (
+            _HOST_EMBED_MAX_BATCH > 0
+            and self.cfg.layers <= _HOST_EMBED_MAX_LAYERS
+            and self.cfg.hidden <= _HOST_EMBED_MAX_HIDDEN
+            and self.cfg.vocab_size <= _HOST_EMBED_MAX_VOCAB
+            and jax.default_backend() != "cpu"  # host == device on cpu
+        )
+
+    def _host_params_synced(self):
+        """CPU-resident mirror of self.params (rebuilt if params were
+        replaced, e.g. by EmbeddingModel._maybe_cast)."""
+        if self._host_params is None or self._host_params_src is not self.params:
+            import jax
+
+            cpu = jax.local_devices(backend="cpu")[0]
+            self._host_params = jax.device_put(self.params, cpu)
+            self._host_params_src = self.params
+        return self._host_params
+
+    def _embed_host(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        out = embed_program_host(
+            self._host_params_synced(), self.cfg, ids, mask, self.pooling,
+        )
+        return np.asarray(out)
+
+    def _embed_device(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        out = embed_program(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            self.pooling,
+        )
+        return np.asarray(out)
+
+    def _launch_device_probe(self, shape: tuple) -> None:
+        """Compile + time the device embed OFF the caller's thread (same
+        rationale as StoreSnapshot._launch_device_probe: a first device
+        dispatch includes a program compile that must never land inside an
+        interactive call)."""
+        router = self._router
+        router.warming = True
+
+        def probe():
+            try:
+                ids = np.full(shape, self.cfg.pad_id, dtype=np.int32)
+                mask = np.zeros(shape, dtype=np.int32)
+                mask[:, 0] = 1
+                self._embed_device(ids, mask)  # compile + warm
+                t0 = time.perf_counter()
+                self._embed_device(ids, mask)
+                router.record("device", time.perf_counter() - t0)
+            except Exception:
+                router.dev_ema = float("inf")
+            finally:
+                router.warming = False
+
+        threading.Thread(
+            target=probe, name="mvdb-embed-probe", daemon=False
+        ).start()
+
+    def _tokenize_padded(self, texts: list[str], max_length: int):
+        """Tokenize + pad to (pow2-batch, seq-bucket) so each shape pair
+        compiles once."""
         texts = [self.prefix + t for t in texts]
         batch = self.tokenizer(texts, max_length=max_length)
         ids = np.asarray(batch["input_ids"], dtype=np.int32)
         mask = np.asarray(batch["attention_mask"], dtype=np.int32)
-        # pad seq to a bucket so each (batch-bucket, seq-bucket) compiles once
         s = seq_bucket(ids.shape[1], max_length)
         if ids.shape[1] < s:
             pad = s - ids.shape[1]
@@ -78,10 +172,23 @@ class _JaxEncoder:
             ids = np.pad(ids, ((0, pad), (0, 0)), constant_values=self.cfg.pad_id)
             mask = np.pad(mask, ((0, pad), (0, 0)))
             mask[-pad:, 0] = 1  # fully-masked rows would divide by zero count
-        out = embed_program(
-            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask), self.pooling
-        )
-        return np.asarray(out)[: len(texts)]
+        return ids, mask
+
+    def embed(self, texts: list[str], max_length: int = 512) -> np.ndarray:
+        ids, mask = self._tokenize_padded(texts, max_length)
+        if ids.shape[0] <= _HOST_EMBED_MAX_BATCH and self._host_capable():
+            which = self._router.choose()
+            if which == "probe":
+                self._launch_device_probe(ids.shape)
+                which = "host"
+            t0 = time.perf_counter()
+            if which == "host":
+                out = self._embed_host(ids, mask)
+            else:
+                out = self._embed_device(ids, mask)
+            self._router.record(which, time.perf_counter() - t0)
+            return out[: len(texts)]
+        return self._embed_device(ids, mask)[: len(texts)]
 
 
 _RESOURCES_DIR = os.path.join(

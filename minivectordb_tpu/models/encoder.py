@@ -122,13 +122,13 @@ def _use_flash_attention(seq: int, head_dim: int) -> bool:
     )
 
 
-def _attention(x, layer, mask, cfg: EncoderConfig):
+def _attention(x, layer, mask, cfg: EncoderConfig, allow_flash: bool = True):
     b, s, h = x.shape
     nh, hd = cfg.heads, cfg.hidden // cfg.heads
     q = _dense(x, layer["q"]).reshape(b, s, nh, hd)
     k = _dense(x, layer["k"]).reshape(b, s, nh, hd)
     v = _dense(x, layer["v"]).reshape(b, s, nh, hd)
-    if _use_flash_attention(s, hd):
+    if allow_flash and _use_flash_attention(s, hd):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds,
             flash_attention,
@@ -154,12 +154,19 @@ def _attention(x, layer, mask, cfg: EncoderConfig):
     return _dense(ctx, layer["attn_out"])
 
 
-def encode(params, cfg: EncoderConfig, input_ids, attention_mask):
+def encode(params, cfg: EncoderConfig, input_ids, attention_mask,
+           allow_flash: bool = True):
     """Forward pass -> last_hidden_state (B, S, H).
 
     input_ids/attention_mask: (B, S) int32. Post-LN transformer matching
     XLM-RoBERTa; position ids follow the XLM-R convention
     (pad positions get pad_id, real tokens count from pad_id + 1).
+
+    allow_flash=False forces einsum attention regardless of the default
+    backend — required when the program is compiled for the HOST (cpu)
+    backend while the process default is TPU: _use_flash_attention reads
+    the global default backend at trace time, which would wrongly pick the
+    TPU-only Pallas kernel inside a cpu-backend jit.
     """
     mask = attention_mask.astype(bool)
     positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask + cfg.pad_id
@@ -170,7 +177,7 @@ def encode(params, cfg: EncoderConfig, input_ids, attention_mask):
     )
     x = _layer_norm(x, params["emb_ln"]["g"], params["emb_ln"]["b"], cfg.layer_norm_eps)
     for layer in params["layers"]:
-        attn = _attention(x, layer, mask, cfg)
+        attn = _attention(x, layer, mask, cfg, allow_flash)
         x = _layer_norm(
             x + attn, layer["attn_ln"]["g"], layer["attn_ln"]["b"], cfg.layer_norm_eps
         )
@@ -229,15 +236,51 @@ def apply_cos_floor(out, cfg: EncoderConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pooling"))
-def embed_program(params, cfg: EncoderConfig, input_ids, attention_mask, pooling="mean"):
-    """The fused embed program: encoder forward + pool + normalize."""
-    hidden = encode(params, cfg, input_ids, attention_mask)
+def _embed_impl(params, cfg: EncoderConfig, input_ids, attention_mask,
+                pooling, allow_flash):
+    hidden = encode(params, cfg, input_ids, attention_mask, allow_flash)
     if pooling == "cls":
         out = cls_pool_normalize(hidden, attention_mask)
     else:
         out = mean_pool_normalize(hidden, attention_mask, cfg.token_norm_pool)
     return apply_cos_floor(out, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pooling"))
+def embed_program(params, cfg: EncoderConfig, input_ids, attention_mask, pooling="mean"):
+    """The fused embed program: encoder forward + pool + normalize."""
+    return _embed_impl(params, cfg, input_ids, attention_mask, pooling, True)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pooling"))
+def _embed_program_noflash(params, cfg: EncoderConfig, input_ids,
+                           attention_mask, pooling="mean"):
+    return _embed_impl(params, cfg, input_ids, attention_mask, pooling, False)
+
+
+def embed_program_host(params, cfg: EncoderConfig, input_ids, attention_mask,
+                       pooling="mean"):
+    """The same embed program compiled for and run on the HOST (cpu) backend.
+
+    Single-text embeds through a remote TPU link pay a fixed dispatch/RTT
+    cost that dwarfs the compute for the compact bundled encoders (2 layers,
+    hidden <= 1024: well under a millisecond of host sgemm). An adaptive
+    router in _JaxEncoder (embedding_model.py) picks this path for small
+    batches the same way the store routes small-corpus scans to host BLAS.
+
+    Placement is via committed cpu inputs (jit's ``backend=`` is
+    deprecated): params must already live on a cpu device
+    (_JaxEncoder._host_params_synced does this); ids/mask are committed
+    here. Flash attention is disabled: the Pallas kernel is TPU-only and
+    _use_flash_attention reads the process-default backend, not the
+    device the program actually compiles for."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    # device_put straight from host memory — jnp.asarray first would bounce
+    # the tokens through the (possibly remote) default device
+    input_ids = jax.device_put(np.asarray(input_ids), cpu)
+    attention_mask = jax.device_put(np.asarray(attention_mask), cpu)
+    return _embed_program_noflash(params, cfg, input_ids, attention_mask,
+                                  pooling)
 
 
 def seq_bucket(n: int, max_len: int = 512) -> int:
