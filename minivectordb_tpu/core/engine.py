@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import threading
 
+import jax.numpy as jnp
 import numpy as np
 
 from minivectordb_tpu.core.store import VectorStore
@@ -94,6 +95,10 @@ class SearchEngine:
         # (filter-triple key) -> (mask, n_candidates); flushed on mutation.
         self._mask_cache: dict = {}
         self._mask_cache_version = -1
+        # device-resident padded filter masks, key -> (version, capacity,
+        # jax array): repeated filtered searches otherwise re-upload a
+        # dev_capacity-wide bool mask (~1 MB at 1M rows) per call
+        self._dev_mask_cache: dict = {}
 
     # -- introspection -----------------------------------------------------
 
@@ -415,11 +420,48 @@ class SearchEngine:
             self._dist_dirty_from = self.count
         return self._dist.snapshot()
 
-    def _snapshot_search(self, snap, q, search_k, mask, fetch=True):
+    def _snapshot_search(self, snap, q, search_k, mask, fetch=True,
+                         mask_dev=None):
         if self.mesh is not None:
             return snap.search(q, search_k, mask=mask)
         return snap.search(q, search_k, mask, mode=self.search_mode,
-                           fetch=fetch)
+                           fetch=fetch, mask_dev=mask_dev)
+
+    def _device_mask_thunk(self, metadata_filter, exclude_filter, or_filters,
+                           mask):
+        """A lazy, cached device copy of the padded filter mask.
+
+        Called under the lock (captures the corpus version the mask belongs
+        to); the returned zero-arg callable runs on the search path OUTSIDE
+        the lock, and only when the store actually routes to the device —
+        host-routed calls never pay the upload. Entries pair a mask with the
+        version it was built at, so a racing writer can never associate a
+        stale mask with a newer version."""
+        key = filters_cache_key(metadata_filter, exclude_filter, or_filters)
+        if key is None or mask is None:
+            return None
+        version = self._version
+        cache = self._dev_mask_cache
+
+        def thunk(capacity):
+            # capacity comes from the SEARCHING snapshot, so the array is
+            # always padded for the buffer it will mask
+            ent = cache.get(key)
+            if (
+                ent is not None
+                and ent[0] == version
+                and ent[1] == capacity
+            ):
+                return ent[2]
+            padded = np.zeros(capacity, dtype=bool)
+            padded[: mask.shape[0]] = mask
+            arr = jnp.asarray(padded)
+            if len(cache) >= _MASK_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+            cache[key] = (version, capacity, arr)
+            return arr
+
+        return thunk
 
     # -- search ------------------------------------------------------------
 
@@ -500,6 +542,13 @@ class SearchEngine:
                 snap = self._index_snapshot()
             uids, metadata = self.uids, self.metadata
             nprobe = self.ivf_opts["nprobe"]
+            mask_dev = (
+                None
+                if mask is None or self.mesh is not None
+                else self._device_mask_thunk(
+                    metadata_filter, exclude_filter, or_filters, mask
+                )
+            )
         if ivf is not None:
             with self.telemetry.timed("ivf_scan"):
                 vals, idx = ivf.search(q, search_k, nprobe=nprobe)
@@ -513,7 +562,7 @@ class SearchEngine:
             return vals, idx, uids, metadata
         with self.telemetry.timed("device_scan"):
             vals, idx = self._snapshot_search(snap, q, search_k, mask,
-                                              fetch=fetch)
+                                              fetch=fetch, mask_dev=mask_dev)
         return vals, idx, uids, metadata
 
     @staticmethod

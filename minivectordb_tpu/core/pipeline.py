@@ -108,6 +108,12 @@ class TextSearchPipeline:
             search_k = min(k, n_candidates)
             snap = eng.store.snapshot()
             uids, metadata = eng.uids, eng.metadata
+            mask_thunk = (
+                None if mask is None
+                else eng._device_mask_thunk(
+                    metadata_filter, exclude_filter, or_filters, mask
+                )
+            )
 
         # Tiny-corpus shortcut: below the store's always-host byte bound a
         # host scan beats any device dispatch, so pay neither the fused
@@ -126,9 +132,12 @@ class TextSearchPipeline:
         else:
             row_mask = None
             if mask is not None:
-                padded = np.zeros(snap.buf.shape[0], dtype=bool)
-                padded[: mask.shape[0]] = mask
-                row_mask = jnp.asarray(padded)
+                if mask_thunk is not None:
+                    row_mask = mask_thunk(snap.buf.shape[0])
+                else:
+                    padded = np.zeros(snap.buf.shape[0], dtype=bool)
+                    padded[: mask.shape[0]] = mask
+                    row_mask = jnp.asarray(padded)
             from minivectordb_tpu.ops.scan import k_bucket
 
             kb = k_bucket(search_k, snap.buf.shape[0])

@@ -454,11 +454,19 @@ class StoreSnapshot:
         mask: np.ndarray | None = None,
         mode: str = "exact",
         fetch: bool = True,
+        mask_dev=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """fetch=False defers the device->host result transfer: returns
         device arrays the caller materializes later (np.asarray), so many
         dispatches can pipeline on the device/link before one drain. Host
-        paths return numpy either way (already materialized)."""
+        paths return numpy either way (already materialized).
+
+        mask_dev: optional device-resident padded copy of ``mask`` (or a
+        callable taking the snapshot's dev_capacity and producing one — kept
+        lazy so host-routed calls never upload it). The engine caches these
+        per filter key so repeated filtered searches don't re-upload a
+        dev_capacity-wide bool mask (~1 MB per call at 1M rows) through the
+        link."""
         batch = 1 if np.ndim(queries) == 1 else int(np.shape(queries)[0])
         if not fetch:
             # async callers pipeline on the device; only the tiny-corpus
@@ -468,7 +476,8 @@ class StoreSnapshot:
                 and self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES
             ):
                 return self._host_search(queries, k, mask)
-            return self._device_search(queries, k, mask, mode, fetch=False)
+            return self._device_search(queries, k, mask, mode, fetch=False,
+                                       mask_dev=mask_dev)
         if self._host_eligible(mode, batch):
             if self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES:
                 return self._host_search(queries, k, mask)
@@ -481,10 +490,11 @@ class StoreSnapshot:
                 out = self._host_search(queries, k, mask)
                 self.router.record("host", time.perf_counter() - t0)
                 return out
-            out = self._device_search(queries, k, mask, mode)
+            out = self._device_search(queries, k, mask, mode,
+                                      mask_dev=mask_dev)
             self.router.record("device", time.perf_counter() - t0)
             return out
-        return self._device_search(queries, k, mask, mode)
+        return self._device_search(queries, k, mask, mode, mask_dev=mask_dev)
 
     def _launch_device_probe(self, qshape, k: int, mode: str) -> None:
         """Compile + time the device path for this query shape OFF the
@@ -523,14 +533,22 @@ class StoreSnapshot:
         mask: np.ndarray | None = None,
         mode: str = "exact",
         fetch: bool = True,
+        mask_dev=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kb = scan_ops.k_bucket(k, self.dev_capacity)
-        mask_dev = None
-        if mask is not None:
-            padded = np.zeros(self.dev_capacity, dtype=bool)
-            padded[: mask.shape[0]] = mask
-            mask_dev = jnp.asarray(padded)
+        if mask is None:
+            mask_dev = None
+        else:
+            if callable(mask_dev):
+                mask_dev = mask_dev(self.dev_capacity)
+            if (
+                mask_dev is None
+                or mask_dev.shape[0] != self.dev_capacity  # capacity moved
+            ):
+                padded = np.zeros(self.dev_capacity, dtype=bool)
+                padded[: mask.shape[0]] = mask
+                mask_dev = jnp.asarray(padded)
         if self._use_pallas(mode, q.shape[0]):
             if self.device_dtype == "int8":
                 from minivectordb_tpu.ops.pallas_scan import pallas_scan_topk_int8
