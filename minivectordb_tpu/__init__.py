@@ -48,6 +48,12 @@ def _setup_compilation_cache() -> None:
     try:
         import jax
 
+        # never override a cache the user configured themselves (their own
+        # env var or an explicit jax.config.update before importing us)
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return
+        if jax.config.jax_compilation_cache_dir:
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # don't spend disk on trivial programs; a 1 s floor keeps every

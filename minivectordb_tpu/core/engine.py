@@ -32,6 +32,22 @@ from minivectordb_tpu.filters.engine import (
 _MASK_CACHE_MAX = 64
 from minivectordb_tpu.utils.telemetry import Telemetry
 
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_topk_device(va, ia, vb, ib, off, k):
+    """Device-side merge of two descending top-k lists (the async IVF +
+    overflow path: a host-side np merge would drain the dispatch queue at
+    dispatch time, defeating search_batch_async's pipelining)."""
+    v = jnp.concatenate([va, vb], axis=1)
+    i = jnp.concatenate(
+        [ia.astype(jnp.int32), ib.astype(jnp.int32) + off], axis=1
+    )
+    tv, ti = jax.lax.top_k(v, k)
+    return tv, jnp.take_along_axis(i, ti, axis=1)
+
 
 class SearchEngine:
     """Row-packed corpus + id maps + metadata index + masked device search."""
@@ -456,8 +472,13 @@ class SearchEngine:
             padded = np.zeros(capacity, dtype=bool)
             padded[: mask.shape[0]] = mask
             arr = jnp.asarray(padded)
+            # runs OUTSIDE the engine lock: two concurrent searches may race
+            # to evict the same victim — tolerate losing that race
             if len(cache) >= _MASK_CACHE_MAX:
-                cache.pop(next(iter(cache)))
+                try:
+                    cache.pop(next(iter(cache)), None)
+                except (StopIteration, RuntimeError):
+                    pass  # another thread emptied/resized it mid-iteration
             cache[key] = (version, capacity, arr)
             return arr
 
@@ -551,14 +572,31 @@ class SearchEngine:
             )
         if ivf is not None:
             with self.telemetry.timed("ivf_scan"):
-                vals, idx = ivf.search(q, search_k, nprobe=nprobe)
+                vals, idx = ivf.search(q, search_k, nprobe=nprobe,
+                                       fetch=fetch)
                 if osnap is not None:
-                    ovals, oidx = osnap.search(q, min(search_k, osnap.count))
-                    vals = np.concatenate([vals, ovals], axis=1)
-                    idx = np.concatenate([idx, oidx + built], axis=1)
-                    order = np.argsort(-vals, axis=1)[:, :search_k]
-                    vals = np.take_along_axis(vals, order, axis=1)
-                    idx = np.take_along_axis(idx, order, axis=1)
+                    ovals, oidx = osnap.search(
+                        q, min(search_k, osnap.count), fetch=fetch
+                    )
+                    if fetch:
+                        vals = np.concatenate([vals, ovals], axis=1)
+                        idx = np.concatenate([idx, oidx + built], axis=1)
+                        order = np.argsort(-vals, axis=1)[:, :search_k]
+                        vals = np.take_along_axis(vals, order, axis=1)
+                        idx = np.take_along_axis(idx, order, axis=1)
+                    else:
+                        # async callers must not drain here: merge the IVF
+                        # hits with the overflow scan ON DEVICE so the
+                        # dispatch stays pipelined until .result()
+                        km = min(
+                            search_k,
+                            int(vals.shape[1]) + int(ovals.shape[1]),
+                        )
+                        vals, idx = _merge_topk_device(
+                            jnp.asarray(vals), jnp.asarray(idx),
+                            jnp.asarray(ovals), jnp.asarray(oidx),
+                            built, km,
+                        )
             return vals, idx, uids, metadata
         with self.telemetry.timed("device_scan"):
             vals, idx = self._snapshot_search(snap, q, search_k, mask,

@@ -82,17 +82,6 @@ class TextSearchPipeline:
             return out[0] if single else out
 
         enc = self.model.model  # _JaxEncoder
-        batch = enc.tokenizer([enc.prefix + t for t in texts], max_length=512)
-        ids_arr = np.asarray(batch["input_ids"], dtype=np.int32)
-        mask_arr = np.asarray(batch["attention_mask"], dtype=np.int32)
-        from minivectordb_tpu.models.encoder import seq_bucket
-
-        s = seq_bucket(ids_arr.shape[1], 512)
-        if ids_arr.shape[1] < s:
-            pad = s - ids_arr.shape[1]
-            ids_arr = np.pad(ids_arr, ((0, 0), (0, pad)),
-                             constant_values=enc.cfg.pad_id)
-            mask_arr = np.pad(mask_arr, ((0, 0), (0, pad)))
 
         # Under the lock: filter + device-cache sync + row-aligned snapshots.
         # The fused tokenize->embed->scan program itself runs OUTSIDE the lock
@@ -127,9 +116,25 @@ class TextSearchPipeline:
             and snap._host_eligible("exact", len(texts))
             and snap.count * snap.dim_bytes <= _HOST_ALWAYS_BYTES
         ):
+            # embed() tokenizes internally — tokenization is deliberately
+            # deferred until after this routing decision so neither branch
+            # pays it twice
             q = enc.embed(texts)
             vals, idx = snap._host_search(q, search_k, mask)
         else:
+            batch = enc.tokenizer(
+                [enc.prefix + t for t in texts], max_length=512
+            )
+            ids_arr = np.asarray(batch["input_ids"], dtype=np.int32)
+            mask_arr = np.asarray(batch["attention_mask"], dtype=np.int32)
+            from minivectordb_tpu.models.encoder import seq_bucket
+
+            s = seq_bucket(ids_arr.shape[1], 512)
+            if ids_arr.shape[1] < s:
+                pad = s - ids_arr.shape[1]
+                ids_arr = np.pad(ids_arr, ((0, 0), (0, pad)),
+                                 constant_values=enc.cfg.pad_id)
+                mask_arr = np.pad(mask_arr, ((0, 0), (0, pad)))
             row_mask = None
             if mask is not None:
                 if mask_thunk is not None:

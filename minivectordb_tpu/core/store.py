@@ -86,6 +86,13 @@ class _ScanRouter:
             if not self.warming and self.n > _ROUTER_FIRST_PROBE:
                 return "probe"
             return "host"
+        if self.dev_ema == float("inf"):
+            # the device probe FAILED (e.g. a flaky remote link) — never
+            # route a user call onto the known-failing path; re-probe in the
+            # background periodically in case the link recovers
+            if self.n % _ROUTER_REFRESH_EVERY == 0 and not self.warming:
+                return "probe"
+            return "host"
         fast = "host" if self.host_ema <= self.dev_ema else "device"
         if self.n % _ROUTER_REFRESH_EVERY == 0:
             return "device" if fast == "host" else "host"
@@ -94,7 +101,12 @@ class _ScanRouter:
     def record(self, which: str, dt: float) -> None:
         attr = "host_ema" if which == "host" else "dev_ema"
         ema = getattr(self, attr)
-        setattr(self, attr, dt if ema is None else 0.7 * ema + 0.3 * dt)
+        # a failed probe leaves inf: replace outright on recovery (an EMA
+        # blended with inf stays inf forever)
+        if ema is None or ema == float("inf"):
+            setattr(self, attr, dt)
+        else:
+            setattr(self, attr, 0.7 * ema + 0.3 * dt)
 
 
 def _host_inv_norms(rows: np.ndarray) -> np.ndarray:
@@ -359,6 +371,13 @@ class VectorStore:
         # scan running outside the lock (plain weakref: GC just nulls it, no
         # cross-thread container mutation). The host-side twin forces
         # copy-on-write on in-place host mutations for the same reason.
+        # Prune dead refs here too: mutation-free read-heavy workloads never
+        # reach the prunes in _may_donate/_host_cow, and one dead weakref per
+        # search would otherwise accumulate without bound.
+        self._snap_refs = [r for r in self._snap_refs if r() is not None]
+        self._host_snap_refs = [
+            r for r in self._host_snap_refs if r() is not None
+        ]
         self._snap_refs.append(weakref.ref(snap))
         self._host_snap_refs.append(weakref.ref(snap))
         return snap

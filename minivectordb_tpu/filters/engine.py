@@ -91,6 +91,7 @@ _NP_OPS = {
 
 _MAX_EXACT_INT = 1 << 53  # |int| above this is not exact in float64
 _COMPARABLE_KINDS = ("num", "dt_naive", "dt_aware", "date")
+_NAIVE_EPOCH = datetime.datetime(1970, 1, 1)  # naive-datetime encoding origin
 
 
 def _classify(v):
@@ -107,8 +108,16 @@ def _classify(v):
     if isinstance(v, float):
         return "num", v
     if isinstance(v, datetime.datetime):  # before date: datetime subclasses it
-        kind = "dt_aware" if v.tzinfo is not None else "dt_naive"
-        return kind, v.timestamp()
+        if v.tzinfo is not None:
+            return "dt_aware", v.timestamp()
+        # naive: NEVER .timestamp() — it interprets the value in the host's
+        # local timezone, which is non-monotone across DST gaps (two wall
+        # times one hour apart encode equal) and raises OSError pre-1970 on
+        # some platforms. Naive epoch arithmetic is TZ-independent, exactly
+        # mirrors Python's naive-datetime ordering, and keeps the same
+        # float64 scale (so the same sub-microsecond precision) as
+        # timestamp().
+        return "dt_naive", (v - _NAIVE_EPOCH).total_seconds()
     if isinstance(v, datetime.date):
         return "date", float(v.toordinal())
     return "other", None

@@ -548,7 +548,11 @@ class IVFSnapshot:
         self.data = data
         self.inv_norms = inv_norms
 
-    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None,
+               fetch: bool = True):
+        """fetch=False returns DEVICE arrays (no result transfer), so async
+        callers can pipeline several dispatches before one drain — same
+        contract as StoreSnapshot.search(fetch=False)."""
         nprobe = self.nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
@@ -606,4 +610,6 @@ class IVFSnapshot:
             vals, ids = _exact_rescore(
                 self.data, self.inv_norms, q, vals, ids, kk
             )
+        if not fetch:
+            return vals, ids
         return np.asarray(vals), np.asarray(ids)

@@ -231,8 +231,9 @@ class DistributedIVFIndex:
         internally consistent while the scan runs outside the lock."""
         return DistIVFSnapshot(self)
 
-    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
-        return self.snapshot().search(queries, k, nprobe)
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None,
+               fetch: bool = True):
+        return self.snapshot().search(queries, k, nprobe, fetch=fetch)
 
 
 class DistIVFSnapshot:
@@ -256,7 +257,10 @@ class DistIVFSnapshot:
         self.inv_norms = owner._inv_norms
         self.quantized = owner._quantized
 
-    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None,
+               fetch: bool = True):
+        """fetch=False returns DEVICE arrays (no result transfer) so async
+        callers can pipeline dispatches — see IVFSnapshot.search."""
         nprobe = self.nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.nlist)
         p = min(self.local_lists, -(-nprobe // self.n))  # ceil
@@ -290,4 +294,6 @@ class DistIVFSnapshot:
             vals, ids = _exact_rescore(
                 self.data, self.inv_norms, q, vals, ids, kk
             )
+        if not fetch:
+            return vals[:, :kk], ids[:, :kk]
         return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]

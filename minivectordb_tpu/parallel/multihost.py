@@ -59,7 +59,18 @@ class PodScanIndex:
         ``local_rows`` are the rows [row_offset, row_offset + len) of the
         global corpus; every process must hold an equal share of the padded
         capacity (capacity / n_hosts rows). Rows are placed into the global
-        sharded buffer without crossing hosts."""
+        sharded buffer without crossing hosts.
+
+        Placement is by PROCESS INDEX (jax.make_array_from_process_local_data
+        lays blocks out in process order), so ``row_offset`` must equal
+        process_index * per_host — it is validated, not used for placement;
+        a mismatched offset would otherwise silently land this host's rows
+        under another host's global ids. The block must also be EXACTLY the
+        dense share implied by global_count (full everywhere below the
+        boundary, global_count - offset on the boundary host, empty above):
+        a short block elsewhere would leave zero rows below global_count
+        unmasked, and their 0.0 cosine scores would beat genuinely negative
+        matches into the top-k as phantom ids."""
         local_rows = np.ascontiguousarray(local_rows, dtype=np.float32)
         n_hosts = self.mesh.devices.shape[0]
         cap = 1024
@@ -68,15 +79,20 @@ class PodScanIndex:
         if cap % self.n:
             cap += self.n - cap % self.n
         per_host = cap // n_hosts
-        if row_offset % per_host:
+        expected_offset = jax.process_index() * per_host
+        if row_offset != expected_offset:
             raise ValueError(
-                f"row_offset {row_offset} must align to the per-host share "
-                f"{per_host}"
+                f"row_offset {row_offset} must be process_index * per_host "
+                f"= {expected_offset} for process {jax.process_index()} "
+                f"(blocks are placed by process order)"
             )
-        if local_rows.shape[0] > per_host:
+        expected_rows = min(max(global_count - row_offset, 0), per_host)
+        if local_rows.shape[0] != expected_rows:
             raise ValueError(
-                f"local block of {local_rows.shape[0]} rows exceeds the "
-                f"per-host share {per_host}"
+                f"local block must hold exactly the dense share "
+                f"[{row_offset}, {row_offset + expected_rows}) of the "
+                f"global corpus ({expected_rows} rows for "
+                f"global_count={global_count}); got {local_rows.shape[0]}"
             )
         padded = np.zeros((per_host, self.dim), dtype=np.float32)
         padded[: local_rows.shape[0]] = local_rows
