@@ -605,6 +605,24 @@ class SearchEngine:
 
     @staticmethod
     def _format_hits(vals_row, idx_row, uids, metadata, return_distances):
+        n = len(vals_row)
+        # scores arrive sorted DESCENDING from every search path, so one
+        # check of the last slot detects the common no-masked-slots case and
+        # skips the per-item sentinel test (this formatting loop runs
+        # B*k times per batch call — it shows up in api_efficiency)
+        if n and vals_row[n - 1] >= -1.0e38:
+            if return_distances:
+                # 1 - s of a descending s is already ascending: sorted
+                return (
+                    tuple(uids[r] for r in idx_row),
+                    tuple(1.0 - float(s) for s in vals_row),
+                    tuple(metadata[r] for r in idx_row),
+                )
+            return (
+                tuple(uids[r] for r in idx_row),
+                tuple(vals_row),  # iterating float32 yields np.float32
+                tuple(metadata[r] for r in idx_row),
+            )
         found = []
         for score, row in zip(vals_row, idx_row):
             if score < -1.0e38:  # masked/padded slot — fewer than k candidates
