@@ -374,12 +374,22 @@ class ShardedVectorDatabase:
 
     def stats(self) -> dict:
         """Operation counters/latencies (observability — no reference
-        equivalent, SURVEY.md §5)."""
-        return {
-            "count": self._engine.count,
-            "embedding_size": self._engine.embedding_size,
-            "device_dtype": self._engine.device_dtype,
-            "search_mode": self._engine.search_mode,
+        equivalent, SURVEY.md §5). See VectorDatabase.stats for ``routing``."""
+        eng = self._engine
+        out = {
+            "count": eng.count,
+            "embedding_size": eng.embedding_size,
+            "device_dtype": eng.device_dtype,
+            "search_mode": eng.search_mode,
             "shards": len(self._shards.box_item_map),
-            "ops": self._engine.telemetry.snapshot(),
+            "ops": eng.telemetry.snapshot(),
         }
+        if eng.store is not None:
+            r = eng.store.router
+            out["routing"] = {
+                "host_ema_s": r.host_ema,
+                "device_ema_s": r.dev_ema,
+                "decisions": r.n,
+                "dev_mask_cache_entries": len(eng._dev_mask_cache),
+            }
+        return out
