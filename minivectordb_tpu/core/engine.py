@@ -516,10 +516,14 @@ class SearchEngine:
         return mask, n
 
     def _scan(self, q, metadata_filter, exclude_filter, or_filters, k,
-              fetch=True):
+              fetch=True, nprobe=None):
         """Shared search core: filter + snapshot under the lock, device scan
         outside it. Returns (vals, idx, uids, metadata) or None when the
         candidate set is empty.
+
+        nprobe: per-call override of ivf_opts['nprobe'] (index='ivf' only) —
+        the standard IVF recall/latency knob, so one database can serve both
+        fast dashboards and high-recall offline jobs.
 
         Snapshot-consistency: uids/metadata are only ever appended to or
         wholesale replaced under the lock (delete_many builds fresh lists),
@@ -562,7 +566,10 @@ class SearchEngine:
             else:
                 snap = self._index_snapshot()
             uids, metadata = self.uids, self.metadata
-            nprobe = self.ivf_opts["nprobe"]
+            if nprobe is None:
+                nprobe = self.ivf_opts["nprobe"]
+            elif not isinstance(nprobe, int) or nprobe < 1:
+                raise ValueError("nprobe must be a positive integer")
             mask_dev = (
                 None
                 if mask is None or self.mesh is not None
@@ -645,6 +652,7 @@ class SearchEngine:
         or_filters=None,
         k: int = 5,
         return_distances: bool = False,
+        nprobe: int | None = None,
     ):
         """Filtered top-k. Returns (ids, scores, metadatas) tuples.
 
@@ -655,7 +663,8 @@ class SearchEngine:
         if self.store is None or self.count == 0:
             return [], [], []
         q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
-        res = self._scan(q, metadata_filter, exclude_filter, or_filters, k)
+        res = self._scan(q, metadata_filter, exclude_filter, or_filters, k,
+                         nprobe=nprobe)
         if res is None:
             return [], [], []
         vals, idx, uids, metadata = res
@@ -669,6 +678,7 @@ class SearchEngine:
         or_filters=None,
         k: int = 5,
         return_distances: bool = False,
+        nprobe: int | None = None,
     ):
         """Batched search: one device program over all queries. Returns a
         list of (ids, scores, metadatas) triples; filters apply to every
@@ -678,7 +688,8 @@ class SearchEngine:
             q = q[None, :]
         if self.store is None or self.count == 0:
             return [([], [], [])] * q.shape[0]
-        res = self._scan(q, metadata_filter, exclude_filter, or_filters, k)
+        res = self._scan(q, metadata_filter, exclude_filter, or_filters, k,
+                         nprobe=nprobe)
         if res is None:
             return [([], [], [])] * q.shape[0]
         vals, idx, uids, metadata = res
@@ -695,6 +706,7 @@ class SearchEngine:
         or_filters=None,
         k: int = 5,
         return_distances: bool = False,
+        nprobe: int | None = None,
     ) -> "PendingSearch":
         """Pipelined batched search: dispatches the device program and
         returns immediately with a PendingSearch; the device->host result
@@ -710,7 +722,7 @@ class SearchEngine:
         if self.store is None or self.count == 0:
             return PendingSearch(lambda: [([], [], [])] * q.shape[0])
         res = self._scan(q, metadata_filter, exclude_filter, or_filters, k,
-                         fetch=False)
+                         fetch=False, nprobe=nprobe)
         if res is None:
             return PendingSearch(lambda: [([], [], [])] * q.shape[0])
         vals, idx, uids, metadata = res

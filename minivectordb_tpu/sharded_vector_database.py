@@ -306,6 +306,7 @@ class ShardedVectorDatabase:
         or_filters=None,
         k: int = 5,
         autocut: bool = False,
+        nprobe: int | None = None,
     ):
         ids, distances, metadatas = self._engine.search(
             embedding,
@@ -313,6 +314,7 @@ class ShardedVectorDatabase:
             exclude_filter=exclude_filter,
             or_filters=or_filters,
             k=k,
+            nprobe=nprobe,
         )
         if autocut and len(distances) > 1:
             remove = self.autocut_scores(distances)
@@ -328,6 +330,7 @@ class ShardedVectorDatabase:
         exclude_filter=None,
         or_filters=None,
         k: int = 5,
+        nprobe: int | None = None,
     ):
         """Batched search: one device program over all queries (no reference
         equivalent)."""
@@ -338,6 +341,7 @@ class ShardedVectorDatabase:
             or_filters=or_filters,
             k=k,
             return_distances=self._device_dtype == "int8",
+            nprobe=nprobe,
         )
 
     def find_most_similar_batch_async(
@@ -347,6 +351,7 @@ class ShardedVectorDatabase:
         exclude_filter=None,
         or_filters=None,
         k: int = 5,
+        nprobe: int | None = None,
     ):
         """Pipelined batched search (see VectorDatabase
         .find_most_similar_batch_async): returns a PendingSearch handle;
@@ -358,6 +363,7 @@ class ShardedVectorDatabase:
             or_filters=or_filters,
             k=k,
             return_distances=self._device_dtype == "int8",
+            nprobe=nprobe,
         )
 
     # -- rerank / autocut --------------------------------------------------

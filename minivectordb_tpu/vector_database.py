@@ -191,12 +191,16 @@ class VectorDatabase:
         or_filters=None,
         k: int = 5,
         autocut: bool = False,
+        nprobe: int | None = None,
     ):
         """Top-k cosine search with mongo-like filtering.
 
         Returns (ids, distances, metadatas); "distances" are cosine
         similarities (higher is better), as in the reference FAISS-IP path
         (vector_database.py:466-536).
+
+        ``nprobe`` (index='ivf' only): per-call override of the configured
+        probe width — the IVF recall/latency knob.
         """
         ids, distances, metadatas = self._engine.search(
             embedding,
@@ -204,6 +208,7 @@ class VectorDatabase:
             exclude_filter=exclude_filter,
             or_filters=or_filters,
             k=k,
+            nprobe=nprobe,
         )
         if autocut and len(distances) > 1:
             remove = self.autocut_scores(distances)
@@ -219,6 +224,7 @@ class VectorDatabase:
         exclude_filter=None,
         or_filters=None,
         k: int = 5,
+        nprobe: int | None = None,
     ):
         """Batched search (no reference equivalent — the reference is
         strictly one query per call). Returns a list of (ids, distances,
@@ -229,6 +235,7 @@ class VectorDatabase:
             exclude_filter=exclude_filter,
             or_filters=or_filters,
             k=k,
+            nprobe=nprobe,
         )
 
     def find_most_similar_batch_async(
@@ -238,6 +245,7 @@ class VectorDatabase:
         exclude_filter=None,
         or_filters=None,
         k: int = 5,
+        nprobe: int | None = None,
     ):
         """Pipelined batched search: returns a handle immediately; call
         ``.result()`` for the list of (ids, distances, metadatas) triples.
@@ -251,6 +259,7 @@ class VectorDatabase:
             exclude_filter=exclude_filter,
             or_filters=or_filters,
             k=k,
+            nprobe=nprobe,
         )
 
     # -- rerank / autocut --------------------------------------------------

@@ -481,3 +481,42 @@ def test_mesh_ivf_delete_remaps_in_place_no_retrain():
     db.delete_embedding(100)
     vals, rows = snap.search(mat[101][None, :], 5)
     assert rows.shape == (1, 5)
+
+
+def test_ivf_per_call_nprobe_override():
+    """find_most_similar(nprobe=...) overrides the configured probe width
+    for ONE call (the recall/latency knob, thread-safe vs the db.nprobe
+    property) and leaves the configuration untouched."""
+    n, d, k = 8192, 32, 10
+    mat = _build_corpus(n, d=d, clusters=64, seed=2)
+    db = _ivf_db(
+        _tmpfile(),
+        ivf_opts={**_IVF_OPTS, "build_threshold": 16, "nlist": 64,
+                  "iters": 8, "nprobe": 1},
+    )
+    db.store_embeddings_batch(list(range(n)), mat)
+    db.find_most_similar(mat[0], k=1)  # build
+    nlist_eff = int(db._engine._ivf.centroids.shape[0])
+    rng = np.random.default_rng(321)
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+
+    def recall(nprobe):
+        hits = total = 0
+        for q in queries:
+            ids, _, _ = db.find_most_similar(q, k=k, nprobe=nprobe)
+            oracle = _exact_topk(mat, q, k)
+            hits += len(set(ids) & oracle)
+            total += k
+        return hits / total
+
+    r1 = recall(1)
+    rfull = recall(nlist_eff)
+    assert r1 < rfull == 1.0
+    assert db._engine.ivf_opts["nprobe"] == 1  # config untouched
+    # batch + async accept it too
+    res = db.find_most_similar_batch(queries[:4], k=k, nprobe=nlist_eff)
+    h = db.find_most_similar_batch_async(queries[:4], k=k, nprobe=nlist_eff)
+    for s, a in zip(res, h.result()):
+        assert list(s[0]) == list(a[0])
+    with pytest.raises(ValueError):
+        db.find_most_similar(queries[0], k=k, nprobe=0)
