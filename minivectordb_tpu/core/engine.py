@@ -439,7 +439,7 @@ class SearchEngine:
     def _snapshot_search(self, snap, q, search_k, mask, fetch=True,
                          mask_dev=None):
         if self.mesh is not None:
-            return snap.search(q, search_k, mask=mask)
+            return snap.search(q, search_k, mask=mask, fetch=fetch)
         return snap.search(q, search_k, mask, mode=self.search_mode,
                            fetch=fetch, mask_dev=mask_dev)
 

@@ -358,7 +358,11 @@ class DistSnapshot:
             and jax.default_backend() != "cpu"
         )
 
-    def search(self, queries: np.ndarray, k: int, mask: np.ndarray | None = None):
+    def search(self, queries: np.ndarray, k: int, mask: np.ndarray | None = None,
+               fetch: bool = True):
+        """fetch=False returns DEVICE (globally-replicated output) arrays so
+        async callers pipeline dispatches — same contract as
+        StoreSnapshot.search / IVFSnapshot.search."""
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kb = 1
         while kb < k:
@@ -389,4 +393,6 @@ class DistSnapshot:
             has_mask,
             self._use_pallas(q.shape[0], kb_local),
         )
+        if not fetch:
+            return vals[:, :k], idx[:, :k]
         return np.asarray(vals)[:, :k], np.asarray(idx)[:, :k]

@@ -58,3 +58,27 @@ def test_sharded_db_with_mesh():
         assert scores[0] > 0.9999
     finally:
         shutil.rmtree(folder, ignore_errors=True)
+
+
+def test_mesh_async_batch_matches_sync(tmp_path):
+    """search_batch_async on a mesh database must stay pipelined (device
+    arrays until .result()) and agree with the synchronous path."""
+    import numpy as np
+
+    from minivectordb_tpu.parallel.mesh import search_mesh
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    mesh = search_mesh(8)
+    db = VectorDatabase(storage_file=str(tmp_path / "m.pkl"), mesh=mesh)
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((1024, 32)).astype(np.float32)
+    db.store_embeddings_batch(list(range(1024)), list(mat))
+    q = mat[:6] + 0.01
+    sync_res = db.find_most_similar_batch(q, k=5)
+    async_res = db.find_most_similar_batch_async(q, k=5).result()
+    for s, a in zip(sync_res, async_res):
+        assert list(s[0]) == list(a[0])
+        np.testing.assert_allclose(
+            np.asarray(s[1], np.float32), np.asarray(a[1], np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
