@@ -348,6 +348,17 @@ class EmbeddingModel:
                 lambda x: x.astype(jnp.bfloat16), self.model.params
             )
 
+    def average_pool(self, last_hidden_states, attention_mask):
+        """Masked mean over the sequence axis (reference
+        embedding_model.py:50-53). The encoder's own pooling is fused into
+        the jitted embed program (models/encoder.py:mean_pool_normalize);
+        this standalone helper is kept for API parity and works on numpy
+        arrays or anything np.asarray-able."""
+        h = np.asarray(last_hidden_states, dtype=np.float32)
+        m = np.asarray(attention_mask)
+        h = np.where(m[..., None].astype(bool), h, 0.0)
+        return h.sum(axis=1) / m.sum(axis=1)[..., None]
+
     # -- extraction (names preserved from the reference) -------------------
 
     def extract_embeddings_quant_onnx(self, text: str) -> np.ndarray:
