@@ -419,7 +419,20 @@ def _match_condition(ctx: FilterContext, key, value):
         out = set()
         for row, md in _rows_with_key(ctx, key):
             mv = md.get(key, None)
-            if all(fn(mv, opv) for fn, opv in ops):
+            try:
+                matched = all(fn(mv, opv) for fn, opv in ops)
+            except TypeError:
+                # cross-type comparison (e.g. $lt 'red' against a bool):
+                # the row simply doesn't match. The columnar fast path
+                # already behaves this way (a value outside the column's
+                # kind matches nothing); letting the Python fallback RAISE
+                # instead would make a search crash or not depending on
+                # which rows happen to hold incomparable values — a
+                # deliberate robustness deviation from the reference, whose
+                # scan catches only KeyError and propagates TypeError
+                # (reference vector_database.py:202-203).
+                matched = False
+            if matched:
                 out.add(row)
         return out
     return _equality_rows(ctx, key, value)

@@ -88,11 +88,13 @@ def test_datetime_columns_naive_and_aware():
     f = {"t": {"$gte": base + datetime.timedelta(hours=10),
                "$lt": base + datetime.timedelta(hours=20)}}
     assert _rows(fast, metadata_filter=f) == _rows(slow, metadata_filter=f) == set(range(10, 20))
-    # aware filter value against naive column -> fallback -> TypeError, like
-    # the reference's operator.ge(naive, aware)
+    # aware filter value against a naive column: incomparable -> matches
+    # NOTHING on both paths (deliberate robustness deviation from the
+    # reference, which would propagate operator.ge's TypeError — see
+    # filters/engine.py:_match_condition)
     aware = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
-    with pytest.raises(TypeError):
-        _rows(fast, metadata_filter={"t": {"$gte": aware}})
+    f2 = {"t": {"$gte": aware}}
+    assert _rows(fast, metadata_filter=f2) == _rows(slow, metadata_filter=f2) == set()
 
 
 def test_date_columns():
@@ -103,12 +105,13 @@ def test_date_columns():
     assert _rows(fast, metadata_filter=f) == _rows(slow, metadata_filter=f) == set(range(15, 30))
 
 
-def test_mixed_kind_key_falls_back_and_raises_like_reference():
+def test_mixed_kind_key_falls_back_and_skips_incomparable_rows():
     mds = [{"v": 1}, {"v": "two"}, {"v": 3}]
     fast = _ctx(mds, True)
     assert fast.columns.columns["v"].kind == "mixed"
-    with pytest.raises(TypeError):
-        _rows(fast, metadata_filter={"v": {"$gt": 2}})
+    # comparable rows answer exactly; the incomparable 'two' row simply
+    # doesn't match (it would TypeError in the reference's raw scan)
+    assert _rows(fast, metadata_filter={"v": {"$gt": 2}}) == {2}
 
 
 def test_huge_int_poisons_column_but_python_path_is_exact():
