@@ -169,3 +169,57 @@ def test_pallas_scan_margin0_approx_mode():
         scores = (mat @ qn) / norms
         oracle = np.argsort(-scores)[:k]
         assert set(idx[b].tolist()) == set(oracle.tolist())
+
+
+def test_pallas_scan_randomized_shape_sweep():
+    """Randomized (capacity, dim, count, batch, k, mask) sweep vs the numpy
+    oracle — guards the kernel's tiling/padding arithmetic across the whole
+    eligible shape space, not just the hand-picked cases above (the round-2
+    advisor found a non-power-of-two tile eligibility bug in exactly this
+    class)."""
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        d = int(rng.choice([8, 16, 32, 64, 128]))
+        cap_exp = int(rng.integers(9, 13))  # 512 .. 4096
+        cap = 1 << cap_exp
+        n = int(rng.integers(cap // 2, cap + 1))
+        b = int(rng.choice([1, 2, 5, 16]))
+        k = int(rng.choice([1, 4, 8, 16]))
+        mat = rng.standard_normal((n, d)).astype(np.float32)
+        buf = jnp.asarray(
+            np.vstack([mat, np.zeros((cap - n, d), np.float32)])
+        )
+        inv = scan_ops.row_inv_norms(buf)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        use_mask = trial % 3 == 0
+        mask = None
+        keep = np.ones(n, dtype=bool)
+        if use_mask:
+            keep = rng.random(cap) < 0.5
+            keep[n:] = False
+            mask = jnp.asarray(keep)
+        vals, idx = pallas_scan_topk(
+            buf, inv, jnp.asarray(q), n, k, mask=mask
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+        for row in range(b):
+            qn = q[row] / np.linalg.norm(q[row])
+            scores = (mat @ qn) / norms
+            scores[~keep[:n]] = -np.inf
+            n_valid = int(np.isfinite(scores).sum())
+            kk = min(k, n_valid)
+            oracle = np.argsort(-scores)[:kk]
+            got_valid = [
+                (i, v) for i, v in zip(idx[row], vals[row]) if v >= -1.0e38
+            ]
+            assert len(got_valid) >= kk, (trial, d, cap, n, b, k, row)
+            got_ids = [i for i, _ in got_valid[:kk]]
+            assert set(got_ids) == set(oracle.tolist()), (
+                trial, d, cap, n, b, k, row
+            )
+            np.testing.assert_allclose(
+                [v for _, v in got_valid[:kk]],
+                np.sort(scores[oracle])[::-1],
+                rtol=1e-4, atol=1e-4,
+            )
