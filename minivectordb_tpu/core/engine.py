@@ -698,6 +698,58 @@ class SearchEngine:
             for b in range(q.shape[0])
         ]
 
+    def search_batch_multi(
+        self,
+        embeddings,
+        metadata_filters,
+        k: int = 5,
+        return_distances: bool = False,
+        nprobe: int | None = None,
+    ):
+        """Batched search with a DIFFERENT filter per query.
+
+        ``metadata_filters``: one metadata_filter (dict/list or None) per
+        query. Queries sharing an identical (cache-key-equal) filter are
+        grouped into ONE masked device dispatch; distinct filters become
+        separate dispatches issued with fetch=False so they pipeline on the
+        device/link before a single drain. Returns one (ids, scores,
+        metadatas) triple per query, in input order."""
+        q = np.asarray(embeddings, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        B = q.shape[0]
+        if len(metadata_filters) != B:
+            raise ValueError(
+                f"metadata_filters must have one entry per query "
+                f"({len(metadata_filters)} != {B})"
+            )
+        if self.store is None or self.count == 0:
+            return [([], [], [])] * B
+        groups: dict = {}
+        for i, f in enumerate(metadata_filters):
+            key = filters_cache_key(f, None, None)
+            gk = key if key is not None else ("__uncacheable__", i)
+            groups.setdefault(gk, (f, []))[1].append(i)
+        results = [None] * B
+        pending = []
+        for f, idxs in groups.values():
+            sub = np.ascontiguousarray(q[np.asarray(idxs)])
+            res = self._scan(sub, f, None, None, k, fetch=False,
+                             nprobe=nprobe)
+            pending.append((idxs, res))
+        for idxs, res in pending:
+            if res is None:
+                for i in idxs:
+                    results[i] = ([], [], [])
+                continue
+            vals, idx, uids, metadata = res
+            v, ix = np.asarray(vals), np.asarray(idx)  # drains this group
+            for j, i in enumerate(idxs):
+                results[i] = self._format_hits(
+                    v[j], ix[j], uids, metadata, return_distances
+                )
+        return results
+
     def search_batch_async(
         self,
         embeddings,

@@ -331,9 +331,21 @@ class ShardedVectorDatabase:
         or_filters=None,
         k: int = 5,
         nprobe: int | None = None,
+        metadata_filters=None,
     ):
         """Batched search: one device program over all queries (no reference
-        equivalent)."""
+        equivalent). ``metadata_filters``: optional per-query filter list —
+        see VectorDatabase.find_most_similar_batch."""
+        if metadata_filters is not None:
+            if metadata_filter or exclude_filter or or_filters:
+                raise ValueError(
+                    "metadata_filters (per-query) is mutually exclusive "
+                    "with the shared filter arguments"
+                )
+            return self._engine.search_batch_multi(
+                embeddings, metadata_filters, k=k, nprobe=nprobe,
+                return_distances=self._device_dtype == "int8",
+            )
         return self._engine.search_batch(
             embeddings,
             metadata_filter=metadata_filter,

@@ -225,10 +225,25 @@ class VectorDatabase:
         or_filters=None,
         k: int = 5,
         nprobe: int | None = None,
+        metadata_filters=None,
     ):
         """Batched search (no reference equivalent — the reference is
         strictly one query per call). Returns a list of (ids, distances,
-        metadatas) triples, one per query; filters apply to every query."""
+        metadatas) triples, one per query; filters apply to every query.
+
+        ``metadata_filters``: optional list with ONE filter per query
+        (mutually exclusive with the shared ``metadata_filter``/
+        ``exclude_filter``/``or_filters``); queries sharing a filter are
+        grouped into one device dispatch, distinct filters pipeline."""
+        if metadata_filters is not None:
+            if metadata_filter or exclude_filter or or_filters:
+                raise ValueError(
+                    "metadata_filters (per-query) is mutually exclusive "
+                    "with the shared filter arguments"
+                )
+            return self._engine.search_batch_multi(
+                embeddings, metadata_filters, k=k, nprobe=nprobe,
+            )
         return self._engine.search_batch(
             embeddings,
             metadata_filter=metadata_filter,
