@@ -276,6 +276,19 @@ class SearchEngine:
             n_del = IVFIndex.state_after_deletes(self._ivf_pending_state, rows)
         self._ivf_dead_slots += n_del
 
+    def routing_stats(self) -> dict | None:
+        """Adaptive host/device router state + device mask-cache occupancy
+        (one implementation for every database class's stats())."""
+        if self.store is None:
+            return None
+        r = self.store.router
+        return {
+            "host_ema_s": r.host_ema,
+            "device_ema_s": r.dev_ema,
+            "decisions": r.n,
+            "dev_mask_cache_entries": len(self._dev_mask_cache),
+        }
+
     def ivf_state(self) -> dict | None:
         """Persistable IVF layout (centroids + slot maps; the packed list
         tensor is rebuilt from the embeddings on load). None when unbuilt."""
@@ -568,8 +581,21 @@ class SearchEngine:
             uids, metadata = self.uids, self.metadata
             if nprobe is None:
                 nprobe = self.ivf_opts["nprobe"]
-            elif not isinstance(nprobe, int) or nprobe < 1:
-                raise ValueError("nprobe must be a positive integer")
+            else:
+                # operator.index accepts any integral type (np.int64, …)
+                # but bool must not silently mean nprobe=1
+                import operator
+
+                if isinstance(nprobe, bool):
+                    raise ValueError("nprobe must be a positive integer")
+                try:
+                    nprobe = operator.index(nprobe)
+                except TypeError:
+                    raise ValueError(
+                        "nprobe must be a positive integer"
+                    ) from None
+                if nprobe < 1:
+                    raise ValueError("nprobe must be a positive integer")
             mask_dev = (
                 None
                 if mask is None or self.mesh is not None
@@ -731,12 +757,33 @@ class SearchEngine:
             gk = key if key is not None else ("__uncacheable__", i)
             groups.setdefault(gk, (f, []))[1].append(i)
         results = [None] * B
+        if len(groups) == 1:
+            # one filter group = the ordinary batch path: fetch=True keeps
+            # the adaptive host/device router in the loop (fetch=False
+            # bypasses it) and there is nothing to pipeline anyway
+            ((f, idxs),) = groups.values()
+            res = self._scan(q, f, None, None, k, nprobe=nprobe)
+            if res is None:
+                return [([], [], [])] * B
+            vals, idx, uids, metadata = res
+            v, ix = np.asarray(vals), np.asarray(idx)
+            return [
+                self._format_hits(v[b], ix[b], uids, metadata,
+                                  return_distances)
+                for b in range(B)
+            ]
         pending = []
-        for f, idxs in groups.values():
-            sub = np.ascontiguousarray(q[np.asarray(idxs)])
-            res = self._scan(sub, f, None, None, k, fetch=False,
-                             nprobe=nprobe)
-            pending.append((idxs, res))
+        # one lock acquisition (RLock — _scan re-enters it) around every
+        # group's filter+snapshot capture, so all groups answer from ONE
+        # corpus version even with racing writers — same snapshot
+        # consistency the shared-filter batch paths give. Dispatches are
+        # fetch=False (async); the drains below run outside the lock.
+        with self.lock:
+            for f, idxs in groups.values():
+                sub = np.ascontiguousarray(q[np.asarray(idxs)])
+                res = self._scan(sub, f, None, None, k, fetch=False,
+                                 nprobe=nprobe)
+                pending.append((idxs, res))
         for idxs, res in pending:
             if res is None:
                 for i in idxs:

@@ -357,7 +357,11 @@ class EmbeddingModel:
         h = np.asarray(last_hidden_states, dtype=np.float32)
         m = np.asarray(attention_mask)
         h = np.where(m[..., None].astype(bool), h, 0.0)
-        return h.sum(axis=1) / m.sum(axis=1)[..., None]
+        # all-zero mask rows would divide 0/0 -> silent NaN embeddings (the
+        # reference helper has this flaw); clamp the count instead — the
+        # degenerate row pools to zeros, non-degenerate rows are unchanged
+        counts = np.maximum(m.sum(axis=1), 1e-9)
+        return h.sum(axis=1) / counts[..., None]
 
     # -- extraction (names preserved from the reference) -------------------
 

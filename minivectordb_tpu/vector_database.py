@@ -302,12 +302,7 @@ class VectorDatabase:
             "search_mode": eng.search_mode,
             "ops": eng.telemetry.snapshot(),
         }
-        if eng.store is not None:
-            r = eng.store.router
-            out["routing"] = {
-                "host_ema_s": r.host_ema,
-                "device_ema_s": r.dev_ema,
-                "decisions": r.n,
-                "dev_mask_cache_entries": len(eng._dev_mask_cache),
-            }
+        routing = eng.routing_stats()
+        if routing is not None:
+            out["routing"] = routing
         return out

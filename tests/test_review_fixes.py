@@ -158,3 +158,89 @@ def test_ivf_async_batch_matches_sync(tmp_path):
             np.asarray(s[1], np.float32), np.asarray(a[1], np.float32),
             rtol=1e-5, atol=1e-6,
         )
+
+
+# -- second review pass ------------------------------------------------------
+
+def test_nprobe_accepts_numpy_ints_rejects_bool(tmp_path):
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    db = VectorDatabase(
+        storage_file=str(tmp_path / "np.pkl"), index="ivf",
+        ivf_opts={"build_threshold": 32, "nlist": 4, "nprobe": 4},
+    )
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((64, 8)).astype(np.float32)
+    db.store_embeddings_batch(list(range(64)), list(mat))
+    ids, _, _ = db.find_most_similar(mat[0], k=3, nprobe=np.int64(4))
+    assert ids[0] == 0
+    for bad in (True, 1.5, "4"):
+        with pytest.raises(ValueError):
+            db.find_most_similar(mat[0], k=3, nprobe=bad)
+
+
+def test_average_pool_all_zero_mask_no_nan():
+    from minivectordb_tpu.embedding_model import EmbeddingModel
+
+    m = EmbeddingModel()
+    h = np.ones((2, 4, 8), dtype=np.float32)
+    mask = np.array([[1, 1, 0, 0], [0, 0, 0, 0]], np.int32)
+    out = m.average_pool(h, mask)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], np.ones(8), atol=1e-6)
+    np.testing.assert_allclose(out[1], np.zeros(8), atol=1e-6)
+
+
+def test_multi_filter_batch_snapshot_consistent_under_writers(tmp_path):
+    """All groups of one metadata_filters batch answer from one corpus
+    version even with a racing writer (the group loop holds the lock)."""
+    import threading
+
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    db = VectorDatabase(storage_file=str(tmp_path / "sc.pkl"))
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((64, 8)).astype(np.float32)
+    db.store_embeddings_batch(
+        list(range(64)), list(mat), [{"g": i % 2} for i in range(64)]
+    )
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        uid = 1000
+        r = np.random.default_rng(2)
+        while not stop.is_set():
+            db.store_embedding(uid, r.standard_normal(8).astype(np.float32),
+                               {"g": uid % 2, "probe": True})
+            uid += 1
+
+    eng = db._engine
+    orig_scan = eng._scan
+    versions_per_call: list = []
+
+    def spy(q2, *a, **kw):
+        versions_per_call.append(eng._version)
+        return orig_scan(q2, *a, **kw)
+
+    eng._scan = spy
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        q = rng.standard_normal((4, 8)).astype(np.float32)
+        for _ in range(50):
+            versions_per_call.clear()
+            out = db.find_most_similar_batch(
+                q, k=64,
+                metadata_filters=[{"g": 0}, {"g": 1}, {"g": 0}, {"g": 1}],
+            )
+            assert len(out) == 4
+            # both group dispatches must capture the SAME corpus version
+            # (the group loop holds the engine lock)
+            assert len(set(versions_per_call)) == 1, versions_per_call
+    except Exception as e:  # noqa: BLE001
+        errors.append(e)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
