@@ -276,6 +276,18 @@ class SearchEngine:
             n_del = IVFIndex.state_after_deletes(self._ivf_pending_state, rows)
         self._ivf_dead_slots += n_del
 
+    def warmup(self, k: int = 10, batch: int = 1) -> None:
+        """Move the cold-start costs off the first user query: sync the
+        device corpus cache (the big upload after bulk ingest), build the
+        IVF index if configured and due, and compile+run the search program
+        for one (batch, k) shape. Serving deployments call this after load
+        and before taking traffic; it is never required for correctness."""
+        if self.store is None or self.count == 0:
+            return
+        q = np.zeros((batch, self.embedding_size), dtype=np.float32)
+        q[:, 0] = 1.0
+        self.search_batch(q, k=min(k, self.count))
+
     def routing_stats(self) -> dict | None:
         """Adaptive host/device router state + device mask-cache occupancy
         (one implementation for every database class's stats())."""

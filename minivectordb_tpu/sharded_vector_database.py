@@ -390,6 +390,10 @@ class ShardedVectorDatabase:
     def autocut_scores(self, score_list):
         return engine_mod.autocut_scores(score_list)
 
+    def warmup(self, k: int = 10, batch: int = 1) -> None:
+        """See VectorDatabase.warmup."""
+        self._engine.warmup(k=k, batch=batch)
+
     def stats(self) -> dict:
         """Operation counters/latencies (observability — no reference
         equivalent, SURVEY.md §5). See VectorDatabase.stats for ``routing``."""

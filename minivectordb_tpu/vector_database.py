@@ -289,6 +289,12 @@ class VectorDatabase:
     def autocut_scores(self, score_list):
         return engine_mod.autocut_scores(score_list)
 
+    def warmup(self, k: int = 10, batch: int = 1) -> None:
+        """Pay the cold-start costs now instead of on the first query:
+        device corpus upload, IVF build (if configured and due), search
+        program compile for one (batch, k) shape. Optional; idempotent."""
+        self._engine.warmup(k=k, batch=batch)
+
     def stats(self) -> dict:
         """Operation counters/latencies (observability — no reference
         equivalent, SURVEY.md §5). ``routing`` reports the adaptive

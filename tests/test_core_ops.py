@@ -218,3 +218,28 @@ def test_dist_snapshot_survives_concurrent_update():
     idx.update(rng.normal(size=(8, 16)).astype(np.float32), 128, 136)
     vals, ids = snap.search(base[5][None, :], 1)
     assert ids[0, 0] == 5
+
+
+def test_warmup_moves_build_and_sync_off_first_query(tmp_path):
+    """warmup() syncs the device cache, builds a due IVF index, and leaves
+    the first real query cheap; idempotent and correctness-neutral."""
+    import numpy as np
+
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    db = VectorDatabase(
+        storage_file=str(tmp_path / "w.pkl"), index="ivf",
+        ivf_opts={"build_threshold": 64, "nlist": 8, "nprobe": 8},
+    )
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    db.store_embeddings_batch(list(range(200)), list(mat))
+    assert db._engine._ivf is None
+    db.warmup()
+    assert db._engine._ivf is not None  # built during warmup, not the query
+    db.warmup()  # idempotent
+    ids, _, _ = db.find_most_similar(mat[5], k=3, nprobe=1_000_000)
+    assert ids[0] == 5
+
+    empty = VectorDatabase(storage_file=str(tmp_path / "e.pkl"))
+    empty.warmup()  # no corpus: a clean no-op
