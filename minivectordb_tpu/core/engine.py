@@ -16,6 +16,7 @@ never enter the top-k, which preserves the reference's exact-count semantics
 from __future__ import annotations
 
 import threading
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +50,92 @@ def _merge_topk_device(va, ia, vb, ib, off, k):
     return tv, jnp.take_along_axis(i, ti, axis=1)
 
 
+class _Coalescer:
+    """Dynamic batching of concurrent single-query searches.
+
+    A per-dispatch cost (program launch + link RTT) dominates single-query
+    searches, and N threads each paying it serialize into N dispatches. With
+    coalescing, the FIRST arrival becomes the leader: it waits ``window_s``
+    for followers, groups everything that arrived by (filter key, k, nprobe,
+    return_distances), and executes one batched search per group; followers
+    block on an event and read their slot. Opt-in (adds up to window_s of
+    latency to uncontended calls) via the databases'
+    ``coalesce_window_ms`` constructor kwarg — the classic serving-side
+    dynamic batcher (no reference equivalent; the reference is strictly
+    one query per call)."""
+
+    __slots__ = ("engine", "window_s", "max_batch", "lock", "pending")
+
+    def __init__(self, engine, window_s: float, max_batch: int = 256):
+        self.engine = engine
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.lock = threading.Lock()
+        self.pending: list = []
+
+    def submit(self, q, metadata_filter, exclude_filter, or_filters, k,
+               return_distances, nprobe):
+        """One query in, one (ids, scores, metadatas) triple out."""
+        try:
+            gkey = (
+                filters_cache_key(metadata_filter, exclude_filter, or_filters),
+                k, nprobe, return_distances,
+            )
+            uncacheable = gkey[0] is None and (
+                metadata_filter or exclude_filter or or_filters
+            )
+        except Exception:
+            uncacheable = True
+        if uncacheable:
+            # filters we can't key can't be grouped with anything
+            return self.engine._search_direct(
+                q, metadata_filter, exclude_filter, or_filters, k,
+                return_distances, nprobe,
+            )
+        ev = threading.Event()
+        entry = [ev, q, metadata_filter, exclude_filter, or_filters, gkey,
+                 None, None]  # [..., result, exception]
+        with self.lock:
+            self.pending.append(entry)
+            leader = len(self.pending) == 1
+        if not leader:
+            ev.wait()
+            if entry[7] is not None:
+                raise entry[7]
+            return entry[6]
+        time.sleep(self.window_s)
+        with self.lock:
+            batch = self.pending
+            self.pending = []
+        groups: dict = {}
+        for e in batch:
+            groups.setdefault(e[5], []).append(e)
+        for gk, entries in groups.items():
+            _, kk, nprobe_g, rd = gk
+            try:
+                for lo in range(0, len(entries), self.max_batch):
+                    chunk = entries[lo: lo + self.max_batch]
+                    qs = np.stack([np.asarray(e[1], dtype=np.float32).reshape(-1)
+                                   for e in chunk])
+                    res = self.engine.search_batch(
+                        qs, metadata_filter=chunk[0][2],
+                        exclude_filter=chunk[0][3], or_filters=chunk[0][4],
+                        k=kk, return_distances=rd, nprobe=nprobe_g,
+                    )
+                    for e, r in zip(chunk, res):
+                        e[6] = r
+            except Exception as exc:  # noqa: BLE001 — deliver to every waiter
+                for e in entries:
+                    if e[6] is None:
+                        e[7] = exc
+            finally:
+                for e in entries:
+                    e[0].set()
+        if entry[7] is not None:
+            raise entry[7]
+        return entry[6]
+
+
 class SearchEngine:
     """Row-packed corpus + id maps + metadata index + masked device search."""
 
@@ -59,6 +146,7 @@ class SearchEngine:
         mesh=None,
         index: str = "flat",
         ivf_opts: dict | None = None,
+        coalesce_window_ms: float = 0.0,
     ):
         if index not in ("flat", "ivf"):
             raise ValueError(f"Unknown index kind: {index}")
@@ -108,6 +196,11 @@ class SearchEngine:
         self.columns = ColumnStore()  # row-aligned vectorized filter columns
         self.lock = threading.RLock()
         self.telemetry = Telemetry()
+        self._coalescer = (
+            _Coalescer(self, coalesce_window_ms / 1000.0)
+            if coalesce_window_ms and coalesce_window_ms > 0
+            else None
+        )
         # (filter-triple key) -> (mask, n_candidates); flushed on mutation.
         self._mask_cache: dict = {}
         self._mask_cache_version = -1
@@ -697,7 +790,30 @@ class SearchEngine:
         ``return_distances=True`` converts cosine similarity to cosine
         distance (1 - cos), mirroring the usearch engine's lower-is-better
         outputs (reference sharded_vector_database_usearch.py:629-637).
-        """
+
+        With coalescing enabled (coalesce_window_ms > 0), concurrent calls
+        from different threads batch into shared device dispatches."""
+        if self._coalescer is not None and self.store is not None \
+                and self.count:
+            return self._coalescer.submit(
+                embedding, metadata_filter, exclude_filter, or_filters, k,
+                return_distances, nprobe,
+            )
+        return self._search_direct(
+            embedding, metadata_filter, exclude_filter, or_filters, k,
+            return_distances, nprobe,
+        )
+
+    def _search_direct(
+        self,
+        embedding,
+        metadata_filter=None,
+        exclude_filter=None,
+        or_filters=None,
+        k: int = 5,
+        return_distances: bool = False,
+        nprobe: int | None = None,
+    ):
         if self.store is None or self.count == 0:
             return [], [], []
         q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)

@@ -43,6 +43,7 @@ class ShardedVectorDatabase:
         mesh=None,
         index: str = "flat",
         ivf_opts: dict | None = None,
+        coalesce_window_ms: float = 0.0,
     ):
         """durability:
         - 'shard' (default): reference-compatible — every mutation rewrites
@@ -65,6 +66,7 @@ class ShardedVectorDatabase:
         self._engine = SearchEngine(
             device_dtype=self._device_dtype, search_mode=search_mode, mesh=mesh,
             index=index, ivf_opts=ivf_opts,
+            coalesce_window_ms=coalesce_window_ms,
         )
         self._shards = ShardRegistry(self.storage_dir, shard_size)
         self._wal_path = os.path.join(self.storage_dir, "wal.log")

@@ -45,6 +45,7 @@ class VectorDatabase:
         nlist: int = 1024,
         nprobe: int = 32,
         ivf_opts: dict | None = None,
+        coalesce_window_ms: float = 0.0,
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' or 'int8' (quantized
         device buffer, half/quarter HBM traffic). search_mode: 'exact' or
@@ -56,12 +57,16 @@ class VectorDatabase:
         (incremental inserts overflow to an exact side-buffer until the
         rebuild policy folds them in; the trained layout persists in the
         pickle). nlist/nprobe are the IVF knobs; ivf_opts fine-tunes
-        {build_threshold, rebuild_frac, iters, lists_dtype}."""
+        {build_threshold, rebuild_frac, iters, lists_dtype}.
+        coalesce_window_ms: > 0 enables serving-side dynamic batching —
+        concurrent find_most_similar calls from different threads merge
+        into shared device dispatches (each call waits up to the window)."""
         self.storage_file = storage_file
         merged_ivf = {"nlist": nlist, "nprobe": nprobe, **(ivf_opts or {})}
         self._engine = SearchEngine(
             device_dtype=device_dtype, search_mode=search_mode, mesh=mesh,
             index=index, ivf_opts=merged_ivf,
+            coalesce_window_ms=coalesce_window_ms,
         )
         self._load_database()
 

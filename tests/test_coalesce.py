@@ -1,0 +1,126 @@
+"""Serving-side dynamic batching (coalesce_window_ms).
+
+Concurrent single-query searches from different threads must merge into
+shared batched dispatches with identical results to the uncoalesced path,
+and exceptions must reach every waiter in a failing group.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from minivectordb_tpu.vector_database import VectorDatabase
+
+
+@pytest.fixture
+def corpus():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((200, 16)).astype(np.float32)
+
+
+def _fill(db, corpus):
+    db.store_embeddings_batch(
+        list(range(len(corpus))), list(corpus),
+        [{"g": int(i % 2)} for i in range(len(corpus))],
+    )
+
+
+def test_coalesced_results_match_direct(tmp_path, corpus):
+    ref = VectorDatabase(storage_file=str(tmp_path / "a.pkl"))
+    _fill(ref, corpus)
+    db = VectorDatabase(storage_file=str(tmp_path / "b.pkl"),
+                        coalesce_window_ms=5.0)
+    _fill(db, corpus)
+
+    eng = db._engine
+    batch_calls = []
+    orig = eng.search_batch
+
+    def spy(qs, **kw):
+        batch_calls.append(np.shape(qs)[0])
+        return orig(qs, **kw)
+
+    eng.search_batch = spy
+
+    n_threads = 8
+    queries = corpus[:n_threads] + 0.01
+    results = [None] * n_threads
+    barrier = threading.Barrier(n_threads)
+
+    def worker(i):
+        barrier.wait()
+        results[i] = db.find_most_similar(queries[i], k=5)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(n_threads):
+        want = ref.find_most_similar(queries[i], k=5)
+        assert list(results[i][0]) == list(want[0]), i
+        np.testing.assert_allclose(
+            np.asarray(results[i][1], np.float32),
+            np.asarray(want[1], np.float32), rtol=1e-5, atol=1e-6,
+        )
+    # fewer dispatches than callers = coalescing actually happened
+    assert sum(batch_calls) == n_threads
+    assert len(batch_calls) < n_threads
+
+
+def test_coalesced_filters_group_separately(tmp_path, corpus):
+    db = VectorDatabase(storage_file=str(tmp_path / "c.pkl"),
+                        coalesce_window_ms=5.0)
+    _fill(db, corpus)
+    n = 6
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i):
+        barrier.wait()
+        results[i] = db.find_most_similar(
+            corpus[i], k=4, metadata_filter={"g": i % 2}
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(n):
+        assert all(m["g"] == i % 2 for m in results[i][2]), i
+
+
+def test_coalesced_exception_reaches_every_waiter(tmp_path, corpus):
+    db = VectorDatabase(storage_file=str(tmp_path / "d.pkl"),
+                        coalesce_window_ms=5.0)
+    _fill(db, corpus)
+    n = 4
+    outcomes = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i):
+        barrier.wait()
+        try:
+            db.find_most_similar(corpus[0], k=3,
+                                 metadata_filter={"g": {"$bogus": 1}})
+            outcomes[i] = "no-raise"
+        except ValueError:
+            outcomes[i] = "raised"
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes == ["raised"] * n
+
+
+def test_window_zero_is_the_direct_path(tmp_path, corpus):
+    db = VectorDatabase(storage_file=str(tmp_path / "e.pkl"))
+    _fill(db, corpus)
+    assert db._engine._coalescer is None
+    ids, _, _ = db.find_most_similar(corpus[3], k=1)
+    assert ids[0] == 3
