@@ -181,12 +181,30 @@ def config4_sharded_multithreaded(n=100_000, d=384, quick=False):
     mixed_ops_s = time.perf_counter() - t0
     assert not errors, errors
     total_ops = n_threads * per_thread
+
+    # serving mode: dynamic batching merges the threads' single-query
+    # dispatches (set_coalesce_window) — same op mix, same corpus. Window
+    # rule of thumb: ~10-25% of the per-dispatch cost (sub-ms host scans
+    # want ~0.5 ms; an 8 ms remote-TPU dispatch tolerates 1-2 ms).
+    db.set_coalesce_window(1.0)
+    threads = [threading.Thread(target=worker, args=(t + 100,))
+               for t in range(n_threads)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    coalesced_s = time.perf_counter() - t0
+    db.set_coalesce_window(0)
+    assert not errors, errors
+
     out = {
         "n": n,
         "shards": len(db.box_item_map),
         "wal_batch_ingest_s": ingest_s,
         "ingest_vectors_per_s": n / ingest_s,
         "mixed_ops_per_s_4threads": total_ops / mixed_ops_s,
+        "mixed_ops_per_s_4threads_coalesced": total_ops / coalesced_s,
     }
     shutil.rmtree(folder, ignore_errors=True)
     return out

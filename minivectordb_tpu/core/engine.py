@@ -62,7 +62,12 @@ class _Coalescer:
     latency to uncontended calls) via the databases'
     ``coalesce_window_ms`` constructor kwarg — the classic serving-side
     dynamic batcher (no reference equivalent; the reference is strictly
-    one query per call)."""
+    one query per call).
+
+    Window sizing: ~10-25% of the per-dispatch cost. Sub-ms host scans want
+    ~0.5 ms; a remote-TPU dispatch (~8 ms) tolerates 1-2 ms. Note
+    time.sleep's precision floor (~0.1-1 ms on Linux) makes windows under
+    ~0.2 ms behave like 0."""
 
     __slots__ = ("engine", "window_s", "max_batch", "lock", "pending")
 
@@ -368,6 +373,14 @@ class SearchEngine:
             # (built_count is derived from its count at attach time)
             n_del = IVFIndex.state_after_deletes(self._ivf_pending_state, rows)
         self._ivf_dead_slots += n_del
+
+    def set_coalesce_window(self, ms: float) -> None:
+        """Enable/disable/resize serving-side dynamic batching at runtime
+        (0 disables). In-flight coalesced calls finish under the old
+        coalescer; new calls see the new setting."""
+        self._coalescer = (
+            _Coalescer(self, ms / 1000.0) if ms and ms > 0 else None
+        )
 
     def warmup(self, k: int = 10, batch: int = 1) -> None:
         """Move the cold-start costs off the first user query: sync the

@@ -396,6 +396,10 @@ class ShardedVectorDatabase:
         """See VectorDatabase.warmup."""
         self._engine.warmup(k=k, batch=batch)
 
+    def set_coalesce_window(self, ms: float) -> None:
+        """See VectorDatabase.set_coalesce_window."""
+        self._engine.set_coalesce_window(ms)
+
     def stats(self) -> dict:
         """Operation counters/latencies (observability — no reference
         equivalent, SURVEY.md §5). See VectorDatabase.stats for ``routing``."""

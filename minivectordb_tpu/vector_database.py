@@ -300,6 +300,11 @@ class VectorDatabase:
         program compile for one (batch, k) shape. Optional; idempotent."""
         self._engine.warmup(k=k, batch=batch)
 
+    def set_coalesce_window(self, ms: float) -> None:
+        """Runtime knob for serving-side dynamic batching (see the
+        constructor's coalesce_window_ms; 0 disables)."""
+        self._engine.set_coalesce_window(ms)
+
     def stats(self) -> dict:
         """Operation counters/latencies (observability — no reference
         equivalent, SURVEY.md §5). ``routing`` reports the adaptive
