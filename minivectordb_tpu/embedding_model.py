@@ -348,6 +348,13 @@ class EmbeddingModel:
                 lambda x: x.astype(jnp.bfloat16), self.model.params
             )
 
+    def warmup(self, batch: int = 1) -> None:
+        """Compile the embed program(s) for one (batch, seq) shape before
+        taking traffic (counterpart of VectorDatabase.warmup). Routes
+        through the same adaptive host/device path a real call would, so
+        it also primes the router. Idempotent."""
+        self.model.embed(["warmup"] * batch)
+
     def average_pool(self, last_hidden_states, attention_mask):
         """Masked mean over the sequence axis (reference
         embedding_model.py:50-53). The encoder's own pooling is fused into

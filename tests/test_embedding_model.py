@@ -88,3 +88,13 @@ def test_bfloat16_compute_dtype_close_to_float32():
     # same direction: high cosine between the two embeddings
     cos = float(e32 @ e16 / (np.linalg.norm(e32) * np.linalg.norm(e16)))
     assert cos > 0.999, cos
+
+
+def test_warmup_is_idempotent_and_primes():
+    from minivectordb_tpu.embedding_model import EmbeddingModel
+
+    m = EmbeddingModel()
+    m.warmup()
+    m.warmup(batch=2)
+    out = m.extract_embeddings("dogs are loyal")
+    assert len(out) == 512
