@@ -47,6 +47,20 @@ def test_ivf_lifecycle_fuzz_matches_exact_oracle(tmp_path, seed):
     next_id = 0
     searches = 0
     for step in range(400):
+        if step in (150, 300):
+            # persist + reload mid-churn: the trained IVF layout rides in
+            # the pickle and must reattach without a k-means re-run
+            db.persist_to_disk()
+            path = db.storage_file
+            del db
+            db = VectorDatabase(
+                storage_file=path, index="ivf",
+                ivf_opts={
+                    "build_threshold": 64, "nlist": NLIST, "nprobe": NLIST,
+                    "iters": 4, "rebuild_frac": 0.3, "rebuild_floor": 16,
+                },
+            )
+            assert sorted(db.inverse_id_map) == sorted(live)
         op = rng.random()
         if op < 0.45 or len(live) < 4:
             v = nprng.standard_normal(D).astype(np.float32)
