@@ -91,14 +91,16 @@ class _Coalescer:
             )
         except Exception:
             uncacheable = True
-        if uncacheable:
-            # filters we can't key can't be grouped with anything
+        # Malformed queries must fail their OWN caller, not poison the whole
+        # group at np.stack time — validate shape before joining a batch.
+        qv = np.asarray(q, dtype=np.float32).reshape(-1)
+        if uncacheable or qv.shape[0] != self.engine.embedding_size:
             return self.engine._search_direct(
                 q, metadata_filter, exclude_filter, or_filters, k,
                 return_distances, nprobe,
             )
         ev = threading.Event()
-        entry = [ev, q, metadata_filter, exclude_filter, or_filters, gkey,
+        entry = [ev, qv, metadata_filter, exclude_filter, or_filters, gkey,
                  None, None]  # [..., result, exception]
         with self.lock:
             self.pending.append(entry)
@@ -108,37 +110,77 @@ class _Coalescer:
             if entry[7] is not None:
                 raise entry[7]
             return entry[6]
-        time.sleep(self.window_s)
-        with self.lock:
-            batch = self.pending
-            self.pending = []
-        groups: dict = {}
-        for e in batch:
-            groups.setdefault(e[5], []).append(e)
-        for gk, entries in groups.items():
-            _, kk, nprobe_g, rd = gk
-            try:
-                for lo in range(0, len(entries), self.max_batch):
-                    chunk = entries[lo: lo + self.max_batch]
-                    qs = np.stack([np.asarray(e[1], dtype=np.float32).reshape(-1)
-                                   for e in chunk])
-                    res = self.engine.search_batch(
-                        qs, metadata_filter=chunk[0][2],
-                        exclude_filter=chunk[0][3], or_filters=chunk[0][4],
-                        k=kk, return_distances=rd, nprobe=nprobe_g,
+        batch = None
+        try:
+            time.sleep(self.window_s)
+            with self.lock:
+                batch = self.pending
+                self.pending = []
+            self._run_batch(batch)
+        except BaseException:
+            # the leader was interrupted (KeyboardInterrupt/SystemExit, or a
+            # bug in the drain) — NEVER strand followers on ev.wait()
+            if batch is None:
+                with self.lock:
+                    batch = self.pending
+                    self.pending = []
+            for e in batch:
+                if e[6] is None and e[7] is None:
+                    e[7] = RuntimeError(
+                        "coalesced search aborted: the leader call was "
+                        "interrupted; retry"
                     )
-                    for e, r in zip(chunk, res):
-                        e[6] = r
-            except Exception as exc:  # noqa: BLE001 — deliver to every waiter
-                for e in entries:
-                    if e[6] is None:
-                        e[7] = exc
-            finally:
-                for e in entries:
-                    e[0].set()
+                e[0].set()
+            raise
         if entry[7] is not None:
             raise entry[7]
         return entry[6]
+
+    def _run_batch(self, batch: list) -> None:
+        """Dispatch every filter group fetch-deferred under ONE engine-lock
+        acquisition (all groups answer from the same corpus version and
+        their device programs pipeline on the link), then drain and format
+        outside the lock; every entry's event is set exactly once."""
+        groups: dict = {}
+        for e in batch:
+            groups.setdefault(e[5], []).append(e)
+        dispatched = []  # (chunk, res-or-None, exception-or-None, kk, rd)
+        with self.engine.lock:
+            for gk, entries in groups.items():
+                _, kk, nprobe_g, rd = gk
+                for lo in range(0, len(entries), self.max_batch):
+                    chunk = entries[lo: lo + self.max_batch]
+                    qs = np.stack([e[1] for e in chunk])
+                    try:
+                        res = self.engine._scan(
+                            qs, chunk[0][2], chunk[0][3], chunk[0][4], kk,
+                            fetch=False, nprobe=nprobe_g,
+                        )
+                        dispatched.append((chunk, res, None, kk, rd))
+                    except Exception as exc:  # noqa: BLE001
+                        dispatched.append((chunk, None, exc, kk, rd))
+        for chunk, res, exc, kk, rd in dispatched:
+            try:
+                if exc is not None:
+                    for e in chunk:
+                        e[7] = exc
+                elif res is None:  # empty candidate set for this filter
+                    for e in chunk:
+                        e[6] = ([], [], [])
+                else:
+                    vals, idx, uids, metadata = res
+                    v, ix = np.asarray(vals), np.asarray(idx)  # drain
+                    for j, e in enumerate(chunk):
+                        e[6] = self.engine._format_hits(
+                            v[j], ix[j], uids, metadata, rd
+                        )
+            except Exception as drain_exc:  # noqa: BLE001
+                for e in chunk:
+                    if e[6] is None and e[7] is None:
+                        e[7] = drain_exc
+            finally:
+                for e in chunk:
+                    e[0].set()
 
 
 class SearchEngine:
@@ -806,9 +848,11 @@ class SearchEngine:
 
         With coalescing enabled (coalesce_window_ms > 0), concurrent calls
         from different threads batch into shared device dispatches."""
-        if self._coalescer is not None and self.store is not None \
-                and self.count:
-            return self._coalescer.submit(
+        # capture once: set_coalesce_window may swap the attribute between
+        # the check and the call
+        coal = self._coalescer
+        if coal is not None and self.store is not None and self.count:
+            return coal.submit(
                 embedding, metadata_filter, exclude_filter, or_filters, k,
                 return_distances, nprobe,
             )

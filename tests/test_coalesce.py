@@ -29,19 +29,22 @@ def _fill(db, corpus):
 def test_coalesced_results_match_direct(tmp_path, corpus):
     ref = VectorDatabase(storage_file=str(tmp_path / "a.pkl"))
     _fill(ref, corpus)
+    # large window so even a loaded single-core CI machine staggers all
+    # 8 arrivals inside it (the dispatch-count assertion below would
+    # otherwise be scheduler-dependent)
     db = VectorDatabase(storage_file=str(tmp_path / "b.pkl"),
-                        coalesce_window_ms=5.0)
+                        coalesce_window_ms=50.0)
     _fill(db, corpus)
 
     eng = db._engine
     batch_calls = []
-    orig = eng.search_batch
+    orig = eng._scan
 
-    def spy(qs, **kw):
+    def spy(qs, *a, **kw):
         batch_calls.append(np.shape(qs)[0])
-        return orig(qs, **kw)
+        return orig(qs, *a, **kw)
 
-    eng.search_batch = spy
+    eng._scan = spy
 
     n_threads = 8
     queries = corpus[:n_threads] + 0.01
@@ -124,3 +127,98 @@ def test_window_zero_is_the_direct_path(tmp_path, corpus):
     assert db._engine._coalescer is None
     ids, _, _ = db.find_most_similar(corpus[3], k=1)
     assert ids[0] == 3
+
+
+def test_malformed_query_fails_only_its_caller(tmp_path, corpus):
+    db = VectorDatabase(storage_file=str(tmp_path / "f.pkl"),
+                        coalesce_window_ms=20.0)
+    _fill(db, corpus)
+    n = 4
+    outcomes = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i):
+        barrier.wait()
+        try:
+            q = corpus[i] if i != 2 else corpus[i][:7]  # wrong dim for #2
+            r = db.find_most_similar(q, k=3)
+            outcomes[i] = ("ok", list(r[0]))
+        except Exception as e:  # noqa: BLE001
+            outcomes[i] = ("err", type(e).__name__)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes[2][0] == "err"  # the bad query fails...
+    for i in (0, 1, 3):
+        assert outcomes[i][0] == "ok" and outcomes[i][1][0] == i, outcomes[i]
+
+
+def test_interrupted_leader_never_strands_followers(tmp_path, corpus,
+                                                    monkeypatch):
+    db = VectorDatabase(storage_file=str(tmp_path / "g.pkl"),
+                        coalesce_window_ms=30.0)
+    _fill(db, corpus)
+    coal = db._engine._coalescer
+
+    def boom(batch):
+        raise KeyboardInterrupt  # a BaseException the group loop won't catch
+
+    monkeypatch.setattr(type(coal), "_run_batch",
+                        staticmethod(lambda batch: boom(batch)))
+    n = 4
+    outcomes = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i):
+        barrier.wait()
+        try:
+            db.find_most_similar(corpus[i], k=3)
+            outcomes[i] = "ok"
+        except KeyboardInterrupt:
+            outcomes[i] = "interrupted"  # the leader itself
+        except RuntimeError:
+            outcomes[i] = "aborted"  # followers get the retryable error
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in threads), "a follower is stranded"
+    assert outcomes.count("interrupted") == 1
+    assert outcomes.count("aborted") == n - 1
+
+
+def test_runtime_window_toggle_under_traffic(tmp_path, corpus):
+    db = VectorDatabase(storage_file=str(tmp_path / "h.pkl"),
+                        coalesce_window_ms=2.0)
+    _fill(db, corpus)
+    stop = threading.Event()
+    errors = []
+
+    def searcher():
+        r = np.random.default_rng(0)
+        while not stop.is_set():
+            try:
+                db.find_most_similar(r.standard_normal(16).astype(np.float32),
+                                     k=3)
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    import time as _t
+
+    for _ in range(20):  # flip the knob while queries are in flight
+        db.set_coalesce_window(0)
+        _t.sleep(0.005)
+        db.set_coalesce_window(1.0)
+        _t.sleep(0.005)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
