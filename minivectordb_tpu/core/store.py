@@ -336,6 +336,21 @@ class VectorStore:
                 self._dirty_from = self.count
         return self._buf, self._inv_norms, self.count
 
+    def pending_upload_rows(self) -> int:
+        """Rows the next sync() would transfer host->device (0 = the device
+        cache is already current). Lets callers detect an imminent bulk
+        upload and overlap host-side work (e.g. the IVF build-program
+        compiles) with the transfer."""
+        dev_cap = scan_ops.capacity_bucket(max(self.count, 1), _MIN_CAPACITY)
+        if self._buf is None or dev_cap != self._dev_capacity:
+            return self.count
+        return max(0, self.count - self._dirty_from)
+
+    def next_device_capacity(self) -> int:
+        """Device-buffer row capacity the next sync() will use (the padded
+        shape build-path programs will be traced against)."""
+        return scan_ops.capacity_bucket(max(self.count, 1), _MIN_CAPACITY)
+
     def pin(self, holder) -> None:
         """Suppress in-place donation of the CURRENT device buffer while
         ``holder`` is alive (weakref-tracked, like snapshots). Used by the

@@ -18,6 +18,7 @@ Recall is tunable via nprobe; with nprobe = nlist the search is exact.
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -252,6 +253,8 @@ class IVFIndex:
         self.iters = iters
         self.device_dtype = device_dtype
         self.seed = seed
+        self._precompile_thread = None
+        self._precompiled = {}  # arg-shape-keyed jax compiled executables
         self.centroids = None
         self._lists = None
         self._list_ids = None
@@ -267,6 +270,59 @@ class IVFIndex:
         # an invariant delete_rows preserves). Dead slots accumulate in the
         # packed lists until the owner's rebuild policy triggers.
         self.count = 0
+
+    def _train_shapes(self, n: int) -> tuple[int, int]:
+        """(nlist, sample_rows) the build path will use for a corpus of n
+        live rows — kept in lockstep with build()."""
+        nlist = min(self.nlist, max(1, n // 4))
+        train_cap = max(nlist * 64, 100_000)
+        return nlist, min(n, train_cap)
+
+    def precompile_async(self, n: int, d: int, dev_cap: int) -> None:
+        """Compile the build-path device programs on a background thread,
+        overlapping an imminent corpus upload.
+
+        The 1M x 1024 cold start runs a ~166 s host->HBM corpus transfer and
+        THEN a ~40 s build dominated by XLA compiles (the k-means Lloyd scan
+        and the full-corpus assignment) — pure host-CPU work that needs no
+        link bandwidth. Engines call this right before store.sync() when a
+        bulk upload is pending so the compiles ride under the transfer;
+        build() then runs the pre-built executables directly. Best-effort:
+        any failure falls back to the normal jit path.
+        """
+        nlist, m = self._train_shapes(n)
+        iters = self.iters
+
+        def work():
+            try:
+                sample = jax.ShapeDtypeStruct((m, d), jnp.float32)
+                key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+                self._precompiled[("kmeans", m, d, nlist, iters)] = (
+                    _kmeans_device.lower(
+                        sample, key, nlist=nlist, iters=iters
+                    ).compile()
+                )
+                data = jax.ShapeDtypeStruct((dev_cap, d), jnp.float32)
+                cent = jax.ShapeDtypeStruct((nlist, d), jnp.float32)
+                self._precompiled[("assign", dev_cap, d, nlist, n)] = (
+                    _assign_full_device.lower(data, cent, n=n).compile()
+                )
+            except Exception:  # pragma: no cover — best-effort warming
+                self._precompiled.clear()
+
+        t = threading.Thread(
+            target=work, name="mvdb-ivf-precompile", daemon=False
+        )
+        t.start()
+        self._precompile_thread = t
+
+    def _take_compiled(self, kind: str, key_rest: tuple):
+        """Pop a pre-built executable (joining the compile thread first); a
+        shape mismatch simply misses and the caller uses the jit path."""
+        if self._precompile_thread is not None:
+            self._precompile_thread.join()
+            self._precompile_thread = None
+        return self._precompiled.pop((kind, *key_rest), None)
 
     def _lists_dtype(self):
         if self.device_dtype == "bfloat16":
@@ -301,21 +357,41 @@ class IVFIndex:
             inv = inv_norms
         d = int(data.shape[1])
         self.count = n
-        nlist = min(self.nlist, max(1, n // 4))
+        nlist, m = self._train_shapes(n)
         key = jax.random.PRNGKey(self.seed)
         # train on a bounded sample (classic IVF practice), assign everything
-        train_cap = max(nlist * 64, 100_000)
-        if n > train_cap:
+        if n > m:
             rng = np.random.default_rng(self.seed)
-            idx = np.sort(rng.choice(n, train_cap, replace=False)).astype(np.int32)
+            idx = np.sort(rng.choice(n, m, replace=False)).astype(np.int32)
             sample = _gather_normalized_sample(data, inv, jnp.asarray(idx))
         else:
             sample = _gather_normalized_sample(
                 data, inv, jnp.arange(n, dtype=jnp.int32)
             )
-        centroids, _ = _kmeans_device(sample, key, nlist, self.iters)
+        # precompile_async-built executables run the SAME traced program, so
+        # results are identical to the jit path; any mismatch falls back
+        km = self._take_compiled("kmeans", (m, d, nlist, self.iters))
+        try:
+            centroids, _ = (
+                km(sample, key)
+                if km is not None
+                else _kmeans_device(sample, key, nlist, self.iters)
+            )
+        except Exception:
+            centroids, _ = _kmeans_device(sample, key, nlist, self.iters)
         del sample
-        assign = np.array(_assign_full_device(data, centroids, n))  # writable copy
+        asg = self._take_compiled(
+            "assign", (int(data.shape[0]), d, nlist, n)
+        )
+        try:
+            assign_dev = (
+                asg(data, centroids)
+                if asg is not None
+                else _assign_full_device(data, centroids, n)
+            )
+        except Exception:
+            assign_dev = _assign_full_device(data, centroids, n)
+        assign = np.array(assign_dev)  # writable copy
         centroids_np = np.asarray(centroids)
 
         # Skew control: the packed layout costs nlist_eff * P * d memory, so

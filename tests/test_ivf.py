@@ -184,3 +184,46 @@ def test_ivf_f32_lists_skip_rescore():
     assert index._data is None
     snap = index.snapshot()
     assert snap.data is None
+
+
+def test_precompiled_build_matches_plain_build():
+    """precompile_async pre-builds the SAME traced programs build() would
+    jit, so the resulting index must be bitwise identical to a plain build
+    (centroids, packed layout, and search results)."""
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((3000, 32)).astype(np.float32)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+
+    plain = IVFIndex(nlist=16, nprobe=16, iters=5, seed=3)
+    plain.build(mat)
+
+    pre = IVFIndex(nlist=16, nprobe=16, iters=5, seed=3)
+    pre.precompile_async(mat.shape[0], mat.shape[1], mat.shape[0])
+    pre.build(mat)
+    # both executables were consumed (no leak into later builds)
+    assert pre._precompiled == {}
+    assert pre._precompile_thread is None
+
+    np.testing.assert_array_equal(
+        np.asarray(plain.centroids), np.asarray(pre.centroids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain._list_ids), np.asarray(pre._list_ids)
+    )
+    v1, i1 = plain.search(q, k=10)
+    v2, i2 = pre.search(q, k=10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_precompile_shape_mismatch_falls_back_to_jit():
+    """A precompile raced by corpus growth misses on shape and build still
+    succeeds through the normal jit path."""
+    rng = np.random.default_rng(8)
+    mat = rng.standard_normal((2000, 16)).astype(np.float32)
+    index = IVFIndex(nlist=8, nprobe=8, iters=4)
+    index.precompile_async(1500, 16, 1500)  # stale n: shapes won't match
+    index.build(mat)
+    vals, ids = index.search(mat[:3], k=5)
+    for b in range(3):
+        assert ids[b, 0] == b  # self-match first at full probe

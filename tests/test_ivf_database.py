@@ -520,3 +520,23 @@ def test_ivf_per_call_nprobe_override():
         assert list(s[0]) == list(a[0])
     with pytest.raises(ValueError):
         db.find_most_similar(queries[0], k=k, nprobe=0)
+
+
+def test_ivf_precompile_overlap_engine_path(monkeypatch):
+    """With the precompile threshold forced to 0, the engine kicks the
+    background build-program compile before the corpus sync and the built
+    index matches the exact oracle at exhaustive probe."""
+    import minivectordb_tpu.core.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "_IVF_PRECOMPILE_MIN_ROWS", 0)
+    db = _ivf_db(_tmpfile(), ivf_opts={**_IVF_OPTS, "build_threshold": 64,
+                                       "nlist": 8})
+    mat = _build_corpus(300, seed=11)
+    db.store_embeddings_batch(list(range(300)), mat)
+    q = _build_corpus(4, seed=12)
+    for b in range(4):
+        ids, scores, _ = db.find_most_similar(q[b], k=10)
+        assert set(ids) == _exact_topk(mat, q[b], 10)
+    ivf = db._engine._ivf
+    assert ivf is not None
+    assert ivf._precompile_thread is None  # joined inside build
