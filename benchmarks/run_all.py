@@ -241,14 +241,20 @@ def config5_ivf_1m(quick=False):
     queries = rng.standard_normal((nq, d)).astype(np.float32)
 
     # exact oracle on the HOST (numpy) — uses zero HBM, so the oracle never
-    # competes with the IVF lists for device memory
+    # competes with the IVF lists for device memory. fidx: oracle under the
+    # 75%-pass metadata filter used by the filtered75 comparison below.
     norms = np.linalg.norm(mat, axis=1)
+    eligible = (np.arange(n) % 4) != 3
     eidx = np.empty((nq, 10), dtype=np.int64)
+    fidx = np.empty((nq, 10), dtype=np.int64)
     for b in range(nq):
         qn = queries[b] / np.linalg.norm(queries[b])
         scores = (mat @ qn) / norms
         part = np.argpartition(-scores, 10)[:10]
         eidx[b] = part[np.argsort(-scores[part])]
+        fs = np.where(eligible, scores, -np.inf)
+        part = np.argpartition(-fs, 10)[:10]
+        fidx[b] = part[np.argsort(-fs[part])]
 
     path = "/tmp/bench_cfg5.pkl"
     if os.path.exists(path):
@@ -262,7 +268,11 @@ def config5_ivf_1m(quick=False):
                   "build_threshold": 1},
     )
     t0 = time.perf_counter()
-    db.store_embeddings_batch(list(range(n)), mat)
+    # metadata feeds the filtered75 comparison (g in {0,1,2,3}; filter
+    # passes g<=2 = 75% of rows) — its indexing cost is part of ingest now
+    db.store_embeddings_batch(
+        list(range(n)), mat, [{"g": int(i % 4)} for i in range(n)]
+    )
     ingest_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     db.find_most_similar(queries[0], k=1)  # triggers the lazy build
@@ -315,6 +325,27 @@ def config5_ivf_1m(quick=False):
             "qps": qps,
             "recall_at_10": hits / (10 * nq),
         }
+    # Broad-filter comparison (75% of rows pass): the masked IVF probe vs
+    # the exact masked scan, same public API, same filter, same k
+    filt = {"g": {"$lte": 2}}
+    db.nprobe = 32
+    for label, frac in (("ivf", 0.5), ("exact", 2.0)):
+        db._engine.ivf_opts["filtered_min_frac"] = frac
+        db.find_most_similar_batch(big, k=10, metadata_filter=filt)  # warm
+        iters = 8
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = db.find_most_similar_batch(big, k=10, metadata_filter=filt)
+        qps = iters * big.shape[0] / (time.perf_counter() - t0)
+        hits = sum(
+            len(set(res[b][0]) & set(fidx[b].tolist())) for b in range(nq)
+        )
+        results[f"filtered75_{label}_b1024"] = {
+            "qps": qps,
+            "recall_at_10": hits / (10 * nq),
+        }
+    db._engine.ivf_opts["filtered_min_frac"] = 0.5
+
     # exact masked scan through the SAME engine/store (identical corpus,
     # identical public API) — the direct IVF-vs-exact ratio
     db._engine.index_kind = "flat"

@@ -232,6 +232,14 @@ class SearchEngine:
             # two-stage search makes the quantization observable only
             # through speed ('int8' quarters the list memory again)
             "lists_dtype": "bfloat16",
+            # Broad filters ride the IVF probe too (overfetch + device mask
+            # + exact-scan fallback when a row comes up short of k eligible
+            # hits): a filter passing >= this fraction of the corpus leaves
+            # the candidate set nearly as large as the corpus, where the ANN
+            # index wins exactly as it does unfiltered. Selective filters
+            # keep the exact masked scan (pruning there only costs recall).
+            # Set > 1.0 to force every filtered query exact.
+            "filtered_min_frac": 0.5,
             **(ivf_opts or {}),
         }
         self._ivf = None
@@ -703,7 +711,7 @@ class SearchEngine:
         return mask, n
 
     def _scan(self, q, metadata_filter, exclude_filter, or_filters, k,
-              fetch=True, nprobe=None):
+              fetch=True, nprobe=None, _force_exact=False):
         """Shared search core: filter + snapshot under the lock, device scan
         outside it. Returns (vals, idx, uids, metadata) or None when the
         candidate set is empty.
@@ -719,11 +727,17 @@ class SearchEngine:
 
         Routing: index='ivf' serves unfiltered single-device queries from the
         coarse-quantized index (+ exact scan of the post-build overflow rows,
-        merged); filtered/mesh queries and sub-threshold corpora keep the
-        exact masked scan (filters select few rows — ANN pruning there would
-        only cost recall)."""
+        merged). BROAD filters (passing >= filtered_min_frac of the corpus)
+        ride the same probe with an overfetched, device-masked candidate
+        stage; any query row that still finds fewer than search_k eligible
+        hits reruns through the exact masked scan (_force_exact), so the
+        reference's exact-count contract holds unconditionally. Selective
+        filters, mesh databases, async dispatches and sub-threshold corpora
+        keep the exact masked scan (ANN pruning there would only cost
+        recall)."""
         ivf = osnap = None
         built = 0
+        ivf_mask = None
         with self.lock:
             with self.telemetry.timed("filter"):
                 mask, n_candidates = self._candidate_mask(
@@ -734,7 +748,16 @@ class SearchEngine:
             search_k = min(k, n_candidates)
             use_ivf = (
                 self.index_kind == "ivf"
-                and mask is None
+                and not _force_exact
+                and (
+                    mask is None
+                    or (
+                        fetch
+                        and self.mesh is None
+                        and n_candidates
+                        >= self.ivf_opts["filtered_min_frac"] * self.count
+                    )
+                )
                 and (
                     self.count >= self.ivf_opts["build_threshold"]
                     or self._ivf is not None
@@ -777,13 +800,35 @@ class SearchEngine:
                     metadata_filter, exclude_filter, or_filters, mask
                 )
             )
+            if ivf is not None and mask is not None:
+                # capacity matches the exact path's padded snapshot width so
+                # both share one _dev_mask_cache entry per filter key; the
+                # thunk itself resolves (uploads) OUTSIDE the lock below
+                ivf_mask_cap = self.store.next_device_capacity()
+                ivf_frac = n_candidates / max(1, self.count)
         if ivf is not None:
             with self.telemetry.timed("ivf_scan"):
-                vals, idx = ivf.search(q, search_k, nprobe=nprobe,
-                                       fetch=fetch)
+                if mask is not None:
+                    ivf_mask = (
+                        mask_dev(ivf_mask_cap)
+                        if mask_dev is not None
+                        else jnp.asarray(mask)
+                    )
+                if ivf_mask is not None:
+                    vals, idx = ivf.search(
+                        q, search_k, nprobe=nprobe, fetch=fetch,
+                        mask_dev=ivf_mask, mask_frac=ivf_frac,
+                    )
+                else:
+                    # mesh snapshots (DistIVFSnapshot) take no mask kwargs —
+                    # filtered mesh queries never reach this branch
+                    vals, idx = ivf.search(
+                        q, search_k, nprobe=nprobe, fetch=fetch
+                    )
                 if osnap is not None:
                     ovals, oidx = osnap.search(
-                        q, min(search_k, osnap.count), fetch=fetch
+                        q, min(search_k, osnap.count), fetch=fetch,
+                        mask=None if mask is None else mask[built:],
                     )
                     if fetch:
                         vals = np.concatenate([vals, ovals], axis=1)
@@ -804,6 +849,20 @@ class SearchEngine:
                             jnp.asarray(ovals), jnp.asarray(oidx),
                             built, km,
                         )
+            if mask is not None and (
+                vals.shape[1] < search_k
+                or int((np.asarray(vals) > -1.0e38).sum(axis=1).min())
+                < search_k
+            ):
+                # count-guarantee: some query found fewer than search_k
+                # eligible rows in the probed lists (filter correlated with
+                # cluster structure past what the overfetch covers) — rerun
+                # through the exact masked scan, which serves exactly
+                # min(k, n_candidates) like the reference
+                return self._scan(
+                    q, metadata_filter, exclude_filter, or_filters, k,
+                    fetch=fetch, nprobe=nprobe, _force_exact=True,
+                )
             return vals, idx, uids, metadata
         with self.telemetry.timed("device_scan"):
             vals, idx = self._snapshot_search(snap, q, search_k, mask,

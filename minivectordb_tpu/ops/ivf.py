@@ -158,6 +158,20 @@ def _exact_rescore(data, inv_norms, q, cand_vals, cand_ids, k):
     return vals, ids
 
 
+@jax.jit
+def _mask_scores(mask, vals, ids):
+    """Sentinel-mask candidate scores whose global row fails the filter mask
+    (True = eligible). Padded/invalid candidates already carry the sentinel
+    and keep it (their ids may be arbitrary — the score check wins)."""
+    return jnp.where(mask[ids], vals, _MASKED_SCORE)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _select_topk(vals, ids, k):
+    v, pos = jax.lax.top_k(vals, k)
+    return v, jnp.take_along_axis(ids, pos, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("nprobe", "k"))
 def _ivf_search(centroids, lists, list_ids, list_valid, q, nprobe, k,
                 list_inv=None):
@@ -625,10 +639,19 @@ class IVFSnapshot:
         self.inv_norms = inv_norms
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None,
-               fetch: bool = True):
+               fetch: bool = True, mask_dev=None, mask_frac: float = 1.0):
         """fetch=False returns DEVICE arrays (no result transfer), so async
         callers can pipeline several dispatches before one drain — same
-        contract as StoreSnapshot.search(fetch=False)."""
+        contract as StoreSnapshot.search(fetch=False).
+
+        mask_dev: optional device bool array (True = row eligible), length
+        >= the corpus row space the packed ids index into. The probe widens
+        its candidate stage by ~1/mask_frac (the filter's passing fraction)
+        so enough eligible rows survive the cut, then sentinel-masks
+        ineligible candidates before the final top-k. Rows that still come
+        up short carry sentinel scores — the owning engine falls back to the
+        exact masked scan for those (count-guarantee stays with the engine).
+        """
         nprobe = self.nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
@@ -639,16 +662,29 @@ class IVFSnapshot:
             b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
             return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
         lists, list_ids, list_valid = self.tables
+        if mask_dev is not None:
+            # overfetch: with fraction f of rows passing, a K-wide candidate
+            # set holds ~f*K eligible rows — widen by 2/f (pow2-bucketed so
+            # each width compiles once) to make a kk-deep eligible set likely
+            want = int(np.ceil(2.0 * kk / max(min(mask_frac, 1.0), 1e-6)))
+            kk_eff = 1 << (max(want, 1) - 1).bit_length()
+            kk_eff = max(kk, min(kk_eff, self.count))
+        else:
+            kk_eff = kk
         # two-stage search for quantized lists: wider quantized top-K' then
         # exact f32 rescore (quantized score noise reorders true neighbors;
         # see _exact_rescore). The margin only needs the true top-k to land
         # anywhere in the top-K' candidate set.
         rescore = self.data is not None and lists.dtype != jnp.float32
-        kwide = (
-            min(_rescore_kwide(kk, lists.dtype), nprobe * int(lists.shape[1]))
-            if rescore
-            else kk
-        )
+        if rescore:
+            kwide = min(
+                _rescore_kwide(kk_eff, lists.dtype),
+                nprobe * int(lists.shape[1]),
+            )
+        elif mask_dev is not None:
+            kwide = min(kk_eff, nprobe * int(lists.shape[1]))
+        else:
+            kwide = kk
         if jax.default_backend() != "cpu":
             from minivectordb_tpu.ops.pallas_ivf import (
                 pallas_ivf_search,
@@ -682,10 +718,16 @@ class IVFSnapshot:
                 self.centroids, lists, list_ids, list_valid, q, nprobe,
                 kwide, list_inv=self.list_inv,
             )
+        if mask_dev is not None:
+            # sentinel-mask ineligible candidates BEFORE the rescore cut so
+            # failing rows can't crowd eligible ones out of the final top-k
+            vals = _mask_scores(mask_dev, vals, ids)
         if rescore:
             vals, ids = _exact_rescore(
                 self.data, self.inv_norms, q, vals, ids, kk
             )
+        elif mask_dev is not None:
+            vals, ids = _select_topk(vals, ids, min(kk, int(vals.shape[1])))
         if not fetch:
             return vals, ids
         return np.asarray(vals), np.asarray(ids)

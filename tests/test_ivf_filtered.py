@@ -1,0 +1,151 @@
+"""Broad metadata filters ride the IVF probe (overfetched, device-masked
+candidate stage) instead of forfeiting to the exact masked scan; selective
+filters and async dispatches keep the exact path; a probe that comes up
+short of search_k eligible hits falls back to the exact scan, preserving the
+reference's exact-count contract (reference vector_database.py:489-492)."""
+
+import uuid
+
+import numpy as np
+
+from minivectordb_tpu.vector_database import VectorDatabase
+
+
+def _tmpfile():
+    return f"/tmp/ivf_filt_{uuid.uuid4().hex}.pkl"
+
+
+def _mk_db(n, d=32, seed=0, **opts):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 4
+    labels = rng.integers(0, 16, n)
+    mat = (centers[labels] + rng.standard_normal((n, d))).astype(np.float32)
+    db = VectorDatabase(
+        _tmpfile(),
+        index="ivf",
+        ivf_opts={
+            "build_threshold": 64,
+            "nlist": 8,
+            "nprobe": 64,  # >= effective nlist -> exhaustive probe
+            "iters": 4,
+            **opts,
+        },
+    )
+    metas = [{"i": int(i), "cluster": int(labels[i])} for i in range(n)]
+    db.store_embeddings_batch(list(range(n)), mat, metas)
+    return db, mat, labels
+
+
+def _oracle(mat, q, k, eligible):
+    qn = q / np.linalg.norm(q)
+    scores = (mat @ qn) / np.linalg.norm(mat, axis=1)
+    scores = np.where(eligible, scores, -np.inf)
+    order = np.argsort(-scores)
+    return [int(r) for r in order[:k] if np.isfinite(scores[r])]
+
+
+def _counts(db):
+    snap = db._engine.telemetry.snapshot()
+    return (
+        snap.get("ivf_scan", {}).get("count", 0),
+        snap.get("device_scan", {}).get("count", 0),
+    )
+
+
+def test_broad_filter_rides_ivf_and_matches_oracle():
+    """A filter passing all but 3 rows: the top-10 eligible set is provably
+    inside the overfetched candidate window at exhaustive probe, so the
+    masked IVF result equals the exact oracle."""
+    db, mat, _ = _mk_db(2000)
+    excl = [{"i": 5}, {"i": 77}, {"i": 300}]
+    eligible = np.ones(len(mat), dtype=bool)
+    eligible[[5, 77, 300]] = False
+    rng = np.random.default_rng(42)
+    for q in rng.standard_normal((6, mat.shape[1])).astype(np.float32):
+        ids, scores, metas = db.find_most_similar(q, k=10, exclude_filter=excl)
+        assert len(ids) == 10
+        assert set(ids) == set(_oracle(mat, q, 10, eligible))
+        assert all(m["i"] not in (5, 77, 300) for m in metas)
+    ivf_n, exact_n = _counts(db)
+    assert ivf_n >= 6 and exact_n == 0  # served by the probe, no fallback
+
+
+def test_bf16_filtered_probe_recall_and_count():
+    db, mat, labels = _mk_db(4000, seed=1)
+    filt = {"cluster": {"$lte": 11}}  # ~75% of rows pass
+    eligible = labels <= 11
+    rng = np.random.default_rng(7)
+    hits = want = 0
+    for q in rng.standard_normal((20, mat.shape[1])).astype(np.float32):
+        ids, scores, metas = db.find_most_similar(
+            q, k=10, metadata_filter=filt
+        )
+        assert len(ids) == 10  # exact-count contract under the filter
+        assert all(m["cluster"] <= 11 for m in metas)
+        oracle = set(_oracle(mat, q, 10, eligible))
+        hits += len(set(ids) & oracle)
+        want += 10
+    assert hits / want >= 0.95
+
+
+def test_shortfall_falls_back_to_exact_scan():
+    """nprobe=1 against a 10-row filter: the single probed list cannot hold
+    search_k eligible rows, so the engine reruns exact and still returns
+    exactly min(k, n_candidates) hits."""
+    db, mat, _ = _mk_db(
+        4000, seed=2, nprobe=1, filtered_min_frac=0.001
+    )
+    filt = {"i": {"$gte": 3990}}
+    eligible = np.arange(len(mat)) >= 3990
+    q = np.asarray(mat[100], dtype=np.float32)
+    ids, scores, metas = db.find_most_similar(q, k=10, metadata_filter=filt)
+    assert len(ids) == 10
+    assert set(ids) == set(_oracle(mat, q, 10, eligible))
+    ivf_n, exact_n = _counts(db)
+    assert ivf_n >= 1 and exact_n >= 1  # probe ran, then the fallback
+
+
+def test_selective_filter_keeps_exact_path():
+    db, mat, _ = _mk_db(2000, seed=3)
+    filt = {"i": {"$lt": 200}}  # 10% < filtered_min_frac 0.5
+    eligible = np.arange(len(mat)) < 200
+    q = np.asarray(mat[10], dtype=np.float32)
+    ids, scores, metas = db.find_most_similar(q, k=10, metadata_filter=filt)
+    assert set(ids) == set(_oracle(mat, q, 10, eligible))
+    ivf_n, exact_n = _counts(db)
+    assert ivf_n == 0 and exact_n >= 1
+
+
+def test_async_filtered_search_stays_exact():
+    db, mat, _ = _mk_db(2000, seed=4)
+    eligible = np.ones(len(mat), dtype=bool)
+    eligible[[1, 2]] = False
+    pending = db.find_most_similar_batch_async(
+        mat[:4], k=10, exclude_filter=[{"i": 1}, {"i": 2}]
+    )
+    results = pending.result()
+    for b in range(4):
+        ids = results[b][0]
+        assert set(ids) == set(_oracle(mat, mat[b], 10, eligible))
+    ivf_n, exact_n = _counts(db)
+    assert ivf_n == 0  # fetch=False dispatches never probe filtered
+
+
+def test_filtered_probe_merges_masked_overflow():
+    """Post-build overflow rows obey the filter too: an eligible overflow
+    row identical to the query ranks first; an ineligible identical row
+    never appears."""
+    db, mat, _ = _mk_db(2000, seed=5)
+    q = np.asarray(
+        np.random.default_rng(9).standard_normal(mat.shape[1]),
+        dtype=np.float32,
+    )
+    db.store_embedding(100000, q, {"i": 100000, "cluster": 99})
+    db.store_embedding(100001, q * 1.0001, {"i": 100001, "cluster": 99})
+    ids, scores, metas = db.find_most_similar(
+        q, k=5, exclude_filter={"i": 100001}
+    )
+    assert ids[0] == 100000
+    assert 100001 not in ids
+    ivf_n, exact_n = _counts(db)
+    assert ivf_n >= 1
