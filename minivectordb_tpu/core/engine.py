@@ -240,6 +240,13 @@ class SearchEngine:
             # keep the exact masked scan (pruning there only costs recall).
             # Set > 1.0 to force every filtered query exact.
             "filtered_min_frac": 0.5,
+            # Recall targeting: when set (e.g. 0.95), every fresh build
+            # auto-calibrates nprobe to the smallest power of two whose
+            # measured recall@10 vs this database's own exact scan meets the
+            # target (see calibrate_nprobe) — recall stays pinned as the
+            # corpus evolves through rebuilds instead of drifting under a
+            # hand-tuned nprobe.
+            "recall_target": None,
             **(ivf_opts or {}),
         }
         self._ivf = None
@@ -503,6 +510,11 @@ class SearchEngine:
                         )
                     )
                 self._ivf_built_count = st["count"]
+                if st.get("nprobe_calibrated"):
+                    # a recall-target calibration travels with the layout:
+                    # re-adopt it as the serving default (db.nprobe can
+                    # still override after load)
+                    self.ivf_opts["nprobe"] = int(st["nprobe"])
                 self._pin_ivf_corpus()
                 self._start_overflow(st["count"])
         overflow_rows = self.count - self._ivf_built_count
@@ -534,6 +546,108 @@ class SearchEngine:
         self._ivf_dead_slots = 0
         self._pin_ivf_corpus()
         self._start_overflow(count)
+        if self.ivf_opts.get("recall_target"):
+            with self.telemetry.timed("nprobe_calibration"):
+                self._run_nprobe_calibration(
+                    self.ivf_opts["recall_target"], None, 10, 64, 0
+                )
+
+    def calibrate_nprobe(self, recall_target: float = 0.95, queries=None,
+                         k: int = 10, sample: int = 64,
+                         seed: int = 0) -> dict:
+        """FAISS-autotune-style recall targeting: measure recall@k of the
+        IVF probe against THIS database's own exact scan and install the
+        smallest power-of-two nprobe that meets ``recall_target`` as the
+        default (``ivf_opts['nprobe']``). The reference has no ANN index and
+        therefore no such knob; this keeps the beyond-reference index
+        honest — 'give me at least X recall' instead of hand-tuning nprobe.
+
+        queries: optional (B, d) workload sample — the most faithful
+        calibration; defaults to ``sample`` stored rows (corpus rows are
+        slightly easy as queries — prefer a real workload when available).
+        Recall is scored over indexed rows only: the live search path merges
+        post-build overflow rows exactly, so production recall is >= the
+        calibrated figure. Returns {"nprobe", "recall", "evaluated"}.
+        """
+        if not (0.0 < recall_target <= 1.0):
+            raise ValueError("recall_target must be in (0, 1]")
+        with self.lock:
+            if self.index_kind != "ivf":
+                raise ValueError("calibrate_nprobe requires index='ivf'")
+            if self.count == 0:
+                raise ValueError("cannot calibrate an empty database")
+            if (
+                self._ivf is None
+                and self._ivf_pending_state is None
+                and self.count < self.ivf_opts["build_threshold"]
+            ):
+                # respect the lifecycle: _ensure_ivf would happily build a
+                # tiny index here, but searches gate on build_threshold
+                raise ValueError(
+                    "no IVF index built yet (corpus below build_threshold;"
+                    " add rows or lower ivf_opts['build_threshold'])"
+                )
+            self._ensure_ivf()
+            if self._ivf is None:
+                raise ValueError(
+                    "no IVF index built yet (corpus below build_threshold;"
+                    " add rows or lower ivf_opts['build_threshold'])"
+                )
+            return self._run_nprobe_calibration(
+                recall_target, queries, k, sample, seed
+            )
+
+    def _run_nprobe_calibration(self, recall_target, queries, k, sample,
+                                seed) -> dict:
+        """Measurement core (caller holds the lock and guarantees a built
+        index). Kept separate so _ensure_ivf's auto-calibration can't
+        recurse back through calibrate_nprobe -> _ensure_ivf."""
+        ivf = self._ivf.snapshot()
+        snap = self._index_snapshot()
+        built = self._ivf_built_count
+        if queries is None:
+            rng = np.random.default_rng(seed)
+            m = min(int(sample), self.count)
+            rows = np.sort(rng.choice(self.count, m, replace=False))
+            queries = self.store.view()[rows].copy()
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        kk = max(1, min(k, built))
+        exact_idx = np.asarray(
+            self._snapshot_search(snap, q, min(k, self.count), None)[1]
+        )
+        # truth restricted to indexed rows: overflow rows are served by an
+        # exact side-scan at query time, never by the probe
+        truth = [set(int(x) for x in row if x < built) for row in exact_idx]
+        denom = sum(len(t) for t in truth)
+        nlist = getattr(ivf, "nlist", None) or int(ivf.centroids.shape[0])
+        evaluated = []
+        p, best, rec = 1, nlist, 1.0
+        while True:
+            ids = np.asarray(ivf.search(q, kk, nprobe=p)[1])
+            hits = sum(
+                len(truth[b] & set(int(x) for x in ids[b]))
+                for b in range(len(truth))
+            )
+            rec = hits / max(1, denom)
+            evaluated.append({"nprobe": p, "recall": round(rec, 4)})
+            if rec >= recall_target or p >= nlist:
+                best = p
+                break
+            p = min(p * 2, nlist)
+        self.ivf_opts["nprobe"] = int(best)
+        self._ivf.nprobe = int(best)
+        # persist with the layout: state_dict carries the calibrated value +
+        # flag, and the attach path re-adopts it as the serving default (the
+        # mesh wrapper snapshots its state dict at construction — write
+        # through to it)
+        self._ivf.nprobe_calibrated = True
+        st = getattr(self._ivf, "_state", None)
+        if isinstance(st, dict):
+            st["nprobe"] = int(best)
+            st["nprobe_calibrated"] = True
+        return {"nprobe": int(best), "recall": rec, "evaluated": evaluated}
 
     def _pin_ivf_corpus(self) -> None:
         """Quantized IVF lists retain the store's device buffer as the

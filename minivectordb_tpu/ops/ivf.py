@@ -565,6 +565,10 @@ class IVFIndex:
         return {
             "nlist": int(self.centroids.shape[0]),
             "nprobe": self.nprobe,
+            # True when nprobe came from recall-target calibration — the
+            # engine re-adopts it as the serving default on reattach
+            "nprobe_calibrated": bool(getattr(self, "nprobe_calibrated",
+                                              False)),
             "iters": self.iters,
             "seed": self.seed,
             "pad_len": self.pad_len,
@@ -586,6 +590,7 @@ class IVFIndex:
             device_dtype=state.get("device_dtype", "float32"),
             seed=state.get("seed", 0),
         )
+        idx.nprobe_calibrated = bool(state.get("nprobe_calibrated", False))
         idx.pad_len = int(state["pad_len"])
         idx.count = int(state["count"])
         idx.centroids = jnp.asarray(state["centroids"])

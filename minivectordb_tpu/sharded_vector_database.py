@@ -400,6 +400,13 @@ class ShardedVectorDatabase:
         """See VectorDatabase.set_coalesce_window."""
         self._engine.set_coalesce_window(ms)
 
+    def calibrate_nprobe(self, recall_target: float = 0.95, queries=None,
+                         k: int = 10, sample: int = 64) -> dict:
+        """See VectorDatabase.calibrate_nprobe (index='ivf' only)."""
+        return self._engine.calibrate_nprobe(
+            recall_target, queries=queries, k=k, sample=sample
+        )
+
     def stats(self) -> dict:
         """Operation counters/latencies (observability — no reference
         equivalent, SURVEY.md §5). See VectorDatabase.stats for ``routing``."""

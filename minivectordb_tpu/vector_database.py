@@ -305,6 +305,18 @@ class VectorDatabase:
         constructor's coalesce_window_ms; 0 disables)."""
         self._engine.set_coalesce_window(ms)
 
+    def calibrate_nprobe(self, recall_target: float = 0.95, queries=None,
+                         k: int = 10, sample: int = 64) -> dict:
+        """Measure IVF recall@k against this database's own exact scan and
+        install the smallest nprobe meeting ``recall_target`` as the default
+        (index='ivf' only). Pass a real query workload via ``queries`` for
+        the most faithful figure; ``ivf_opts={"recall_target": ...}`` runs
+        this automatically after every build. Returns
+        {"nprobe", "recall", "evaluated"}."""
+        return self._engine.calibrate_nprobe(
+            recall_target, queries=queries, k=k, sample=sample
+        )
+
     def stats(self) -> dict:
         """Operation counters/latencies (observability — no reference
         equivalent, SURVEY.md §5). ``routing`` reports the adaptive
