@@ -845,10 +845,11 @@ class SearchEngine:
         ride the same probe with an overfetched, device-masked candidate
         stage; any query row that still finds fewer than search_k eligible
         hits reruns through the exact masked scan (_force_exact), so the
-        reference's exact-count contract holds unconditionally. Selective
-        filters, mesh databases, async dispatches and sub-threshold corpora
-        keep the exact masked scan (ANN pruning there would only cost
-        recall)."""
+        reference's exact-count contract holds unconditionally — on mesh
+        databases too (list ids are global row ids on every shard, so one
+        mask covers the mesh). Selective filters, async dispatches and
+        sub-threshold corpora keep the exact masked scan (ANN pruning there
+        would only cost recall)."""
         ivf = osnap = None
         built = 0
         ivf_mask = None
@@ -867,7 +868,6 @@ class SearchEngine:
                     mask is None
                     or (
                         fetch
-                        and self.mesh is None
                         and n_candidates
                         >= self.ivf_opts["filtered_min_frac"] * self.count
                     )
@@ -907,9 +907,11 @@ class SearchEngine:
                     ) from None
                 if nprobe < 1:
                     raise ValueError("nprobe must be a positive integer")
+            # mesh engines use the thunk only on the IVF branch (the exact
+            # mesh path ships the host mask through shard_map itself)
             mask_dev = (
                 None
-                if mask is None or self.mesh is not None
+                if mask is None
                 else self._device_mask_thunk(
                     metadata_filter, exclude_filter, or_filters, mask
                 )
@@ -934,8 +936,6 @@ class SearchEngine:
                         mask_dev=ivf_mask, mask_frac=ivf_frac,
                     )
                 else:
-                    # mesh snapshots (DistIVFSnapshot) take no mask kwargs —
-                    # filtered mesh queries never reach this branch
                     vals, idx = ivf.search(
                         q, search_k, nprobe=nprobe, fetch=fetch
                     )

@@ -258,9 +258,14 @@ class DistIVFSnapshot:
         self.quantized = owner._quantized
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None,
-               fetch: bool = True):
+               fetch: bool = True, mask_dev=None, mask_frac: float = 1.0):
         """fetch=False returns DEVICE arrays (no result transfer) so async
-        callers can pipeline dispatches — see IVFSnapshot.search."""
+        callers can pipeline dispatches — see IVFSnapshot.search.
+
+        mask_dev/mask_frac: same contract as IVFSnapshot.search — the merged
+        candidate list is overfetched by ~1/mask_frac and ineligible global
+        rows are sentinel-masked before the final cut (list ids are GLOBAL
+        row ids on every shard, so one mask array covers the whole mesh)."""
         nprobe = self.nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.nlist)
         p = min(self.local_lists, -(-nprobe // self.n))  # ceil
@@ -269,10 +274,21 @@ class DistIVFSnapshot:
         if kk <= 0:
             b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
             return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
+        if mask_dev is not None:
+            want = int(np.ceil(2.0 * kk / max(min(mask_frac, 1.0), 1e-6)))
+            kk_eff = 1 << (max(want, 1) - 1).bit_length()
+            kk_eff = max(kk, min(kk_eff, self.count))
+        else:
+            kk_eff = kk
         # quantized lists: widen the merged candidate list and rescore it
         # exactly, same two-stage contract as IVFSnapshot.search
         rescore = self.quantized and self.data is not None
-        kwide = _rescore_kwide(kk, self.tables[0].dtype) if rescore else kk
+        if rescore:
+            kwide = _rescore_kwide(kk_eff, self.tables[0].dtype)
+        elif mask_dev is not None:
+            kwide = kk_eff
+        else:
+            kwide = kk
         k_local = min(kwide, p * self.pad_len)
         lists, list_ids, list_valid = self.tables
         vals, ids = _dist_ivf_search(
@@ -288,12 +304,21 @@ class DistIVFSnapshot:
             k_local,
             kwide,
         )
+        if mask_dev is not None:
+            from minivectordb_tpu.ops.ivf import _mask_scores
+
+            # sentinel-mask ineligible candidates BEFORE the rescore cut
+            vals = _mask_scores(mask_dev, vals, ids)
         if rescore:
             from minivectordb_tpu.ops.ivf import _exact_rescore
 
             vals, ids = _exact_rescore(
                 self.data, self.inv_norms, q, vals, ids, kk
             )
+        elif mask_dev is not None:
+            from minivectordb_tpu.ops.ivf import _select_topk
+
+            vals, ids = _select_topk(vals, ids, min(kk, int(vals.shape[1])))
         if not fetch:
             return vals[:, :kk], ids[:, :kk]
         return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]

@@ -149,3 +149,55 @@ def test_filtered_probe_merges_masked_overflow():
     assert 100001 not in ids
     ivf_n, exact_n = _counts(db)
     assert ivf_n >= 1
+
+
+def _mk_mesh_db(n=4000, seed=20, **opts):
+    import jax
+
+    from minivectordb_tpu.parallel.mesh import search_mesh
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((16, 32)).astype(np.float32) * 4
+    labels = rng.integers(0, 16, n)
+    mat = (centers[labels] + rng.standard_normal((n, 32))).astype(np.float32)
+    db = VectorDatabase(
+        _tmpfile(),
+        index="ivf",
+        mesh=search_mesh(len(jax.devices())),
+        ivf_opts={"build_threshold": 64, "nlist": 16, "nprobe": 64,
+                  "iters": 4, **opts},
+    )
+    metas = [{"i": int(i), "cluster": int(labels[i])} for i in range(n)]
+    db.store_embeddings_batch(list(range(n)), mat, metas)
+    return db, mat, labels
+
+
+def test_mesh_broad_filter_rides_ivf():
+    db, mat, labels = _mk_mesh_db()
+    filt = {"cluster": {"$lte": 11}}  # ~75% pass
+    eligible = labels <= 11
+    rng = np.random.default_rng(21)
+    hits = want = 0
+    for q in rng.standard_normal((12, mat.shape[1])).astype(np.float32):
+        ids, scores, metas = db.find_most_similar(
+            q, k=10, metadata_filter=filt
+        )
+        assert len(ids) == 10
+        assert all(m["cluster"] <= 11 for m in metas)
+        hits += len(set(ids) & set(_oracle(mat, q, 10, eligible)))
+        want += 10
+    assert hits / want >= 0.95
+    ivf_n, _ = _counts(db)
+    assert ivf_n >= 12
+
+
+def test_mesh_shortfall_falls_back_to_exact():
+    db, mat, _ = _mk_mesh_db(nprobe=1, filtered_min_frac=0.001)
+    filt = {"i": {"$gte": 3990}}
+    eligible = np.arange(len(mat)) >= 3990
+    q = np.asarray(mat[50], dtype=np.float32)
+    ids, scores, metas = db.find_most_similar(q, k=10, metadata_filter=filt)
+    assert len(ids) == 10
+    assert set(ids) == set(_oracle(mat, q, 10, eligible))
+    ivf_n, exact_n = _counts(db)
+    assert ivf_n >= 1 and exact_n >= 1
