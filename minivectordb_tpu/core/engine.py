@@ -254,6 +254,10 @@ class SearchEngine:
         self._ivf_overflow = None  # VectorStore over rows added post-build
         self._ivf_pending_state = None  # persisted layout awaiting reattach
         self._ivf_dead_slots = 0  # tombstoned slots since the last build
+        # True once a recall-target calibration chose ivf_opts['nprobe'];
+        # survives rebuilds (the value lives in ivf_opts) and is stamped
+        # onto every fresh index so persist/reload re-adopts it
+        self._nprobe_calibrated = False
         self.embedding_size: int | None = None
         self.store: VectorStore | None = None
         self.uids: list = []  # row -> unique id
@@ -485,6 +489,8 @@ class SearchEngine:
             self._ivf_overflow = None
             self._ivf_pending_state = state
             self._ivf_dead_slots = 0
+            # adopting a foreign layout: its own flag decides at attach time
+            self._nprobe_calibrated = False
 
     def _start_overflow(self, built: int) -> None:
         self._ivf_overflow = VectorStore(self.embedding_size, "float32")
@@ -515,6 +521,7 @@ class SearchEngine:
                     # re-adopt it as the serving default (db.nprobe can
                     # still override after load)
                     self.ivf_opts["nprobe"] = int(st["nprobe"])
+                    self._nprobe_calibrated = True
                 self._pin_ivf_corpus()
                 self._start_overflow(st["count"])
         overflow_rows = self.count - self._ivf_built_count
@@ -541,6 +548,12 @@ class SearchEngine:
         buf, inv, count = self._synced_corpus()
         with self.telemetry.timed("ivf_build"):
             ivf.build(buf, count=count, inv_norms=inv)
+        # a manual calibration survives rebuilds: stamp the flag BEFORE the
+        # mesh wrapper snapshots its state dict, so persist/reload keeps
+        # re-adopting the calibrated nprobe (auto-recalibration below
+        # refreshes the value itself when recall_target is configured)
+        ivf.nprobe = int(self.ivf_opts["nprobe"])
+        ivf.nprobe_calibrated = self._nprobe_calibrated
         self._ivf = self._wrap_ivf(ivf)
         self._ivf_built_count = count
         self._ivf_dead_slots = 0
@@ -621,22 +634,43 @@ class SearchEngine:
         # exact side-scan at query time, never by the probe
         truth = [set(int(x) for x in row if x < built) for row in exact_idx]
         denom = sum(len(t) for t in truth)
+        if denom == 0:
+            # every exact neighbor of the calibration queries lives in the
+            # post-build overflow, which the live path always scans exactly
+            # — the probe has nothing it could miss; keep the configured
+            # nprobe rather than installing a meaningless maximum
+            return {
+                "nprobe": int(self.ivf_opts["nprobe"]),
+                "recall": 1.0,
+                "evaluated": [],
+            }
         nlist = getattr(ivf, "nlist", None) or int(ivf.centroids.shape[0])
         evaluated = []
         p, best, rec = 1, nlist, 1.0
         while True:
-            ids = np.asarray(ivf.search(q, kk, nprobe=p)[1])
+            vals, ids = ivf.search(q, kk, nprobe=p)
+            vals, ids = np.asarray(vals), np.asarray(ids)
+            # sentinel-padded slots carry arbitrary ids (often 0) — counting
+            # them as hits would overstate recall and stop a doubling early
             hits = sum(
-                len(truth[b] & set(int(x) for x in ids[b]))
+                len(
+                    truth[b]
+                    & {
+                        int(i)
+                        for i, v in zip(ids[b], vals[b])
+                        if v > -1.0e38
+                    }
+                )
                 for b in range(len(truth))
             )
-            rec = hits / max(1, denom)
+            rec = hits / denom
             evaluated.append({"nprobe": p, "recall": round(rec, 4)})
             if rec >= recall_target or p >= nlist:
                 best = p
                 break
             p = min(p * 2, nlist)
         self.ivf_opts["nprobe"] = int(best)
+        self._nprobe_calibrated = True
         self._ivf.nprobe = int(best)
         # persist with the layout: state_dict carries the calibrated value +
         # flag, and the attach path re-adopts it as the serving default (the
@@ -963,20 +997,51 @@ class SearchEngine:
                             jnp.asarray(ovals), jnp.asarray(oidx),
                             built, km,
                         )
-            if mask is not None and (
-                vals.shape[1] < search_k
-                or int((np.asarray(vals) > -1.0e38).sum(axis=1).min())
-                < search_k
-            ):
-                # count-guarantee: some query found fewer than search_k
+            if mask is not None:
+                # count-guarantee: queries that found fewer than search_k
                 # eligible rows in the probed lists (filter correlated with
-                # cluster structure past what the overfetch covers) — rerun
+                # cluster structure past what the overfetch covers) rerun
                 # through the exact masked scan, which serves exactly
-                # min(k, n_candidates) like the reference
-                return self._scan(
-                    q, metadata_filter, exclude_filter, or_filters, k,
-                    fetch=fetch, nprobe=nprobe, _force_exact=True,
-                )
+                # min(k, n_candidates) like the reference. Only the SHORT
+                # rows rerun — the probe work for the rest is kept.
+                vals, idx = np.asarray(vals), np.asarray(idx)
+                if vals.shape[1] < search_k:
+                    short = np.arange(vals.shape[0])
+                else:
+                    short = np.flatnonzero(
+                        (vals > -1.0e38).sum(axis=1) < search_k
+                    )
+                if short.size == vals.shape[0]:
+                    return self._scan(
+                        q, metadata_filter, exclude_filter, or_filters, k,
+                        fetch=fetch, nprobe=nprobe, _force_exact=True,
+                    )
+                if short.size:
+                    res2 = self._scan(
+                        np.asarray(q)[short], metadata_filter,
+                        exclude_filter, or_filters, k, fetch=fetch,
+                        nprobe=nprobe, _force_exact=True,
+                    )
+                    # splice only when the row space provably did not move
+                    # under us: appends mutate uids/metadata in place (old
+                    # row ids stay valid), deletes build FRESH lists — an
+                    # identity mismatch means rerun the whole batch against
+                    # one consistent snapshot instead
+                    if (
+                        res2 is not None
+                        and res2[2] is uids
+                        and res2[3] is metadata
+                        and res2[0].shape[1] == vals.shape[1]
+                    ):
+                        if not vals.flags.writeable:
+                            vals, idx = vals.copy(), idx.copy()
+                        vals[short] = res2[0]
+                        idx[short] = res2[1]
+                        return vals, idx, uids, metadata
+                    return self._scan(
+                        q, metadata_filter, exclude_filter, or_filters, k,
+                        fetch=fetch, nprobe=nprobe, _force_exact=True,
+                    )
             return vals, idx, uids, metadata
         with self.telemetry.timed("device_scan"):
             vals, idx = self._snapshot_search(snap, q, search_k, mask,

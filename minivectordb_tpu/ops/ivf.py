@@ -158,6 +158,17 @@ def _exact_rescore(data, inv_norms, q, cand_vals, cand_ids, k):
     return vals, ids
 
 
+def masked_overfetch_width(kk: int, mask_frac: float, count: int) -> int:
+    """Candidate-stage width for a filter-masked probe: with fraction f of
+    rows passing, a K-wide candidate set holds ~f*K eligible rows — widen by
+    2/f (pow2-bucketed so each width compiles once) to make a kk-deep
+    eligible set likely. Single source of truth for the single-device and
+    mesh snapshots: a tuning change here moves both identically."""
+    want = int(np.ceil(2.0 * kk / max(min(mask_frac, 1.0), 1e-6)))
+    kk_eff = 1 << (max(want, 1) - 1).bit_length()
+    return max(kk, min(kk_eff, count))
+
+
 @jax.jit
 def _mask_scores(mask, vals, ids):
     """Sentinel-mask candidate scores whose global row fails the filter mask
@@ -667,15 +678,11 @@ class IVFSnapshot:
             b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
             return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
         lists, list_ids, list_valid = self.tables
-        if mask_dev is not None:
-            # overfetch: with fraction f of rows passing, a K-wide candidate
-            # set holds ~f*K eligible rows — widen by 2/f (pow2-bucketed so
-            # each width compiles once) to make a kk-deep eligible set likely
-            want = int(np.ceil(2.0 * kk / max(min(mask_frac, 1.0), 1e-6)))
-            kk_eff = 1 << (max(want, 1) - 1).bit_length()
-            kk_eff = max(kk, min(kk_eff, self.count))
-        else:
-            kk_eff = kk
+        kk_eff = (
+            masked_overfetch_width(kk, mask_frac, self.count)
+            if mask_dev is not None
+            else kk
+        )
         # two-stage search for quantized lists: wider quantized top-K' then
         # exact f32 rescore (quantized score noise reorders true neighbors;
         # see _exact_rescore). The margin only needs the true top-k to land

@@ -275,9 +275,9 @@ class DistIVFSnapshot:
             b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
             return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
         if mask_dev is not None:
-            want = int(np.ceil(2.0 * kk / max(min(mask_frac, 1.0), 1e-6)))
-            kk_eff = 1 << (max(want, 1) - 1).bit_length()
-            kk_eff = max(kk, min(kk_eff, self.count))
+            from minivectordb_tpu.ops.ivf import masked_overfetch_width
+
+            kk_eff = masked_overfetch_width(kk, mask_frac, self.count)
         else:
             kk_eff = kk
         # quantized lists: widen the merged candidate list and rescore it

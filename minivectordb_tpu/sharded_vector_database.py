@@ -401,10 +401,11 @@ class ShardedVectorDatabase:
         self._engine.set_coalesce_window(ms)
 
     def calibrate_nprobe(self, recall_target: float = 0.95, queries=None,
-                         k: int = 10, sample: int = 64) -> dict:
+                         k: int = 10, sample: int = 64,
+                         seed: int = 0) -> dict:
         """See VectorDatabase.calibrate_nprobe (index='ivf' only)."""
         return self._engine.calibrate_nprobe(
-            recall_target, queries=queries, k=k, sample=sample
+            recall_target, queries=queries, k=k, sample=sample, seed=seed
         )
 
     def stats(self) -> dict:

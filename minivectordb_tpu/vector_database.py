@@ -306,15 +306,17 @@ class VectorDatabase:
         self._engine.set_coalesce_window(ms)
 
     def calibrate_nprobe(self, recall_target: float = 0.95, queries=None,
-                         k: int = 10, sample: int = 64) -> dict:
+                         k: int = 10, sample: int = 64,
+                         seed: int = 0) -> dict:
         """Measure IVF recall@k against this database's own exact scan and
         install the smallest nprobe meeting ``recall_target`` as the default
         (index='ivf' only). Pass a real query workload via ``queries`` for
-        the most faithful figure; ``ivf_opts={"recall_target": ...}`` runs
-        this automatically after every build. Returns
-        {"nprobe", "recall", "evaluated"}."""
+        the most faithful figure (``seed`` varies the default corpus-row
+        sampling); ``ivf_opts={"recall_target": ...}`` runs this
+        automatically after every build. The calibrated value persists with
+        the pickled layout. Returns {"nprobe", "recall", "evaluated"}."""
         return self._engine.calibrate_nprobe(
-            recall_target, queries=queries, k=k, sample=sample
+            recall_target, queries=queries, k=k, sample=sample, seed=seed
         )
 
     def stats(self) -> dict:
