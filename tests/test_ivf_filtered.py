@@ -201,3 +201,54 @@ def test_mesh_shortfall_falls_back_to_exact():
     assert set(ids) == set(_oracle(mat, q, 10, eligible))
     ivf_n, exact_n = _counts(db)
     assert ivf_n >= 1 and exact_n >= 1
+
+
+def test_filtered_probe_races_deleter_without_corruption():
+    """Filtered IVF searches (shortfall fallback included) racing a deleting
+    writer: the splice identity guard must force a consistent full rerun
+    when the row space moves, so every result row is well-formed — correct
+    count or fewer, filter respected, and (uid -> metadata) pairs that
+    actually belong together."""
+    import threading
+
+    db, mat, labels = _mk_db(4000, seed=30, nprobe=1,
+                             filtered_min_frac=0.0001)
+    db.find_most_similar(mat[0], k=1)  # build now
+    filt = {"cluster": {"$lte": 7}}
+    errors = []
+    stop = threading.Event()
+
+    def deleter():
+        try:
+            for uid in range(3999, 3599, -4):
+                db.delete_embedding(uid)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def searcher():
+        rng = np.random.default_rng(31)
+        try:
+            while not stop.is_set():
+                q = rng.standard_normal(mat.shape[1]).astype(np.float32)
+                ids, scores, metas = db.find_most_similar(
+                    q, k=10, metadata_filter=filt
+                )
+                assert len(ids) == len(metas) <= 10
+                for uid, m in zip(ids, metas):
+                    assert m["cluster"] <= 7
+                    # uid->metadata alignment: the stored metadata carries
+                    # its own uid in "i"
+                    assert m["i"] == uid
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=deleter)] + [
+        threading.Thread(target=searcher) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
