@@ -252,3 +252,112 @@ def test_filtered_probe_races_deleter_without_corruption():
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_filtered_ivf_end_to_end_matches_oracle_fuzz(tmp_path, seed,
+                                                     monkeypatch):
+    """Randomized end-to-end equality: with the overfetch forced to full
+    width, the masked probe is provably exact, so every random filter /
+    overflow / delete combination must return EXACTLY the oracle's top-k of
+    the eligible live rows — this fuzzes the mask upload+gather, the
+    sentinel select, the masked overflow merge and the count guarantee as
+    one pipeline (the overfetch heuristic itself is covered by the recall
+    tests above)."""
+    import random
+
+    import minivectordb_tpu.ops.ivf as ivf_mod
+
+    monkeypatch.setattr(
+        ivf_mod, "masked_overfetch_width", lambda kk, f, count: count
+    )
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    d, k = 16, 7
+    db = VectorDatabase(
+        str(tmp_path / f"fz{seed}.pkl"),
+        index="ivf",
+        ivf_opts={"build_threshold": 64, "nlist": 8, "nprobe": 64,
+                  "iters": 4, "lists_dtype": "float32",
+                  "filtered_min_frac": 0.0},
+    )
+    live = {}  # uid -> (vec, meta)
+
+    def _meta():
+        m = {"g": rng.randint(0, 3)}
+        if rng.random() < 0.8:
+            m["v"] = round(rng.uniform(-5, 5), 2)
+        if rng.random() < 0.5:
+            m["s"] = rng.choice(["red", "green", "blue"])
+        return m
+
+    def _add(uids):
+        vecs = nprng.standard_normal((len(uids), d)).astype(np.float32)
+        metas = [_meta() for _ in uids]
+        db.store_embeddings_batch(list(uids), vecs, metas)
+        for u, v, m in zip(uids, vecs, metas):
+            live[u] = (v, m)
+
+    _add(range(400))
+    db.find_most_similar(live[0][0], k=1)  # build now
+    _add(range(400, 460))  # post-build overflow
+    doomed = rng.sample(sorted(live), 30)
+    for u in doomed:
+        db.delete_embedding(u)
+        del live[u]
+
+    def _matches(m, flt):
+        for key, spec in flt.items():
+            if key not in m:
+                return False
+            v = m[key]
+            try:
+                if isinstance(spec, dict):
+                    for op, x in spec.items():
+                        ok = {"$gt": lambda: v > x, "$gte": lambda: v >= x,
+                              "$lt": lambda: v < x, "$lte": lambda: v <= x,
+                              "$ne": lambda: v != x}[op]()
+                        if not ok:
+                            return False
+                elif v != spec:
+                    return False
+            except TypeError:
+                return False
+        return True
+
+    def _rand_filter():
+        r = rng.random()
+        if r < 0.3:
+            return {"g": rng.randint(0, 3)}
+        if r < 0.6:
+            return {"g": {"$lte": rng.randint(0, 3)}}
+        if r < 0.8:
+            return {"v": {"$gte": round(rng.uniform(-5, 3), 2)}}
+        return {"s": rng.choice(["red", "green", "blue"])}
+
+    for trial in range(60):
+        flt = _rand_filter()
+        q = nprng.standard_normal(d).astype(np.float32)
+        qn = q / np.linalg.norm(q)
+        scored = sorted(
+            (
+                (float(v @ qn / np.linalg.norm(v)), u)
+                for u, (v, m) in live.items()
+                if _matches(m, flt)
+            ),
+            reverse=True,
+        )
+        want = [u for _, u in scored[:k]]
+        ids, scores, metas = db.find_most_similar(
+            q, k=k, metadata_filter=flt
+        )
+        assert len(ids) == len(want), (trial, flt, len(ids), len(want))
+        assert set(ids) == set(want), (
+            f"trial {trial} flt={flt}: got {sorted(ids)[:8]} "
+            f"want {sorted(want)[:8]}"
+        )
+        assert list(scores) == sorted(scores, reverse=True)
+        assert all(_matches(m, flt) for m in metas)
