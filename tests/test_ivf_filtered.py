@@ -361,3 +361,22 @@ def test_filtered_ivf_end_to_end_matches_oracle_fuzz(tmp_path, seed,
         )
         assert list(scores) == sorted(scores, reverse=True)
         assert all(_matches(m, flt) for m in metas)
+
+
+def test_int8_lists_filtered_probe_recall_and_count():
+    """Filtered probing composes with int8 lists (widest quantization):
+    mask applies to the quantized candidates before the exact f32 rescore."""
+    db, mat, labels = _mk_db(4000, seed=40, lists_dtype="int8")
+    filt = {"cluster": {"$lte": 11}}
+    eligible = labels <= 11
+    rng = np.random.default_rng(41)
+    hits = want = 0
+    for q in rng.standard_normal((12, mat.shape[1])).astype(np.float32):
+        ids, scores, metas = db.find_most_similar(
+            q, k=10, metadata_filter=filt
+        )
+        assert len(ids) == 10
+        assert all(m["cluster"] <= 11 for m in metas)
+        hits += len(set(ids) & set(_oracle(mat, q, 10, eligible)))
+        want += 10
+    assert hits / want >= 0.9
