@@ -83,6 +83,24 @@ class TextSearchPipeline:
 
         enc = self.model.model  # _JaxEncoder
 
+        # IVF databases route through the engine's own search core: the
+        # coarse probe beats the fused exact scan by ~5x at corpus scale,
+        # and the embedding hand-off is a (B, d) host array — trivial next
+        # to the scan it avoids. The engine handles filters (broad filters
+        # ride the probe, selective go exact), the overflow merge and the
+        # count-guarantee fallback; fusion only ever paid for skipping that
+        # hand-off, which stops mattering the moment the scan is probed.
+        if eng.index_kind == "ivf" and (
+            eng.count >= eng.ivf_opts["build_threshold"]
+            or eng._ivf is not None
+            or eng._ivf_pending_state is not None
+        ):
+            q = enc.embed(texts)
+            res = eng.search_batch(
+                q, metadata_filter, exclude_filter, or_filters, k
+            )
+            return res[0] if single else res
+
         # Under the lock: filter + device-cache sync + row-aligned snapshots.
         # The fused tokenize->embed->scan program itself runs OUTSIDE the lock
         # (the device inputs are immutable), so concurrent writers are never

@@ -50,3 +50,35 @@ def test_fused_empty_db():
     db = VectorDatabase()
     pipe = TextSearchPipeline(model, db)
     assert pipe.search("anything", k=3) == ([], [], [])
+
+
+def test_pipeline_routes_ivf_databases_through_the_probe():
+    """Text search on an index='ivf' database serves from the coarse probe
+    (engine search core) instead of the fused exact scan."""
+    import numpy as np
+
+    from minivectordb_tpu.embedding_model import EmbeddingModel
+    from minivectordb_tpu.core.pipeline import TextSearchPipeline
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    model = EmbeddingModel()
+    db = VectorDatabase(
+        f"/tmp/pipe_ivf_{np.random.randint(1 << 30)}.pkl",
+        index="ivf",
+        ivf_opts={"build_threshold": 4, "nlist": 4, "nprobe": 64,
+                  "iters": 3},
+    )
+    sents = ["i like animals", "i like cars", "the sky is blue",
+             "dogs are friendly", "engines are loud"]
+    for i, s in enumerate(sents, 1):
+        db.store_embedding(i, model.extract_embeddings(s), {"i": i})
+    pipe = TextSearchPipeline(model, db)
+    ids, scores, metas = pipe.search("i like dogs", k=2)
+    assert len(ids) == 2
+    assert set(ids) <= {1, 2, 3, 4, 5}
+    snap = db._engine.telemetry.snapshot()
+    assert snap.get("ivf_scan", {}).get("count", 0) >= 1
+    # filtered text search still honors the filter through the same route
+    ids2, _, metas2 = pipe.search("i like dogs", k=2,
+                                  metadata_filter={"i": {"$lte": 2}})
+    assert all(m["i"] <= 2 for m in metas2) and len(ids2) == 2
