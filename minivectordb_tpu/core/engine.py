@@ -15,6 +15,7 @@ never enter the top-k, which preserves the reference's exact-count semantics
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 
@@ -199,9 +200,15 @@ class SearchEngine:
         index: str = "flat",
         ivf_opts: dict | None = None,
         coalesce_window_ms: float = 0.0,
+        ivf_sidecar: str | None = None,
     ):
         if index not in ("flat", "ivf"):
             raise ValueError(f"Unknown index kind: {index}")
+        # Optional path for persisting the trained IVF layout OUTSIDE the
+        # corpus pickle (sharded databases: write-through shards have no
+        # single pickle to carry it). Written on build/attach/calibrate,
+        # dropped on delete (see _persist_ivf_sidecar).
+        self.ivf_sidecar = ivf_sidecar
         self.device_dtype = device_dtype
         self.search_mode = search_mode  # 'exact' | 'approx' (TPU ApproxTopK)
         # Optional jax.sharding.Mesh: searches run row-partitioned across the
@@ -407,6 +414,30 @@ class SearchEngine:
         self._ivf_overflow = None
         self._ivf_pending_state = None
         self._ivf_dead_slots = 0
+        self._drop_ivf_sidecar()
+
+    def _persist_ivf_sidecar(self) -> None:
+        """Write the trained layout to ivf_sidecar (sharded databases set
+        this path — the flat class persists the layout inside its pickle
+        instead). Atomic write; append-only growth after the write is safe
+        (rows 0..count are immutable under appends), and every delete DROPS
+        the sidecar (row compaction remaps ids, so a stale layout could
+        reattach onto the wrong rows once the count grows back)."""
+        if self.ivf_sidecar is None or self._ivf is None:
+            return
+        import pickle
+
+        tmp = self.ivf_sidecar + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self._ivf.state_dict(), f)
+        os.replace(tmp, self.ivf_sidecar)
+
+    def _drop_ivf_sidecar(self) -> None:
+        if self.ivf_sidecar is not None:
+            try:
+                os.unlink(self.ivf_sidecar)
+            except FileNotFoundError:
+                pass
 
     def _on_rows_deleted(self, rows: list[int]) -> None:
         """Row compaction shifted every global id above a deleted row; keep
@@ -418,6 +449,10 @@ class SearchEngine:
         _ensure_ivf fires."""
         if self._ivf is None and self._ivf_pending_state is None:
             return
+        # row compaction remaps global ids: a sidecar written before this
+        # delete could reattach onto the WRONG rows once the count grows
+        # back past its recorded count — drop it (next build rewrites it)
+        self._drop_ivf_sidecar()
         from minivectordb_tpu.ops.ivf import IVFIndex
 
         if self._ivf is not None:
@@ -524,6 +559,9 @@ class SearchEngine:
                     self._nprobe_calibrated = True
                 self._pin_ivf_corpus()
                 self._start_overflow(st["count"])
+                # rewrite the sidecar: engine.load()'s reset dropped the
+                # file the pending state was read from
+                self._persist_ivf_sidecar()
         overflow_rows = self.count - self._ivf_built_count
         stale = overflow_rows + self._ivf_dead_slots
         if self._ivf is not None and stale <= max(
@@ -564,6 +602,7 @@ class SearchEngine:
                 self._run_nprobe_calibration(
                     self.ivf_opts["recall_target"], None, 10, 64, 0
                 )
+        self._persist_ivf_sidecar()
 
     def calibrate_nprobe(self, recall_target: float = 0.95, queries=None,
                          k: int = 10, sample: int = 64,
@@ -681,6 +720,7 @@ class SearchEngine:
         if isinstance(st, dict):
             st["nprobe"] = int(best)
             st["nprobe_calibrated"] = True
+        self._persist_ivf_sidecar()
         return {"nprobe": int(best), "recall": rec, "evaluated": evaluated}
 
     def _pin_ivf_corpus(self) -> None:

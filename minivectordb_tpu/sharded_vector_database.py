@@ -67,10 +67,26 @@ class ShardedVectorDatabase:
             device_dtype=self._device_dtype, search_mode=search_mode, mesh=mesh,
             index=index, ivf_opts=ivf_opts,
             coalesce_window_ms=coalesce_window_ms,
+            # write-through shards have no single pickle to carry the
+            # trained IVF layout (the flat class embeds it in db.pkl), so it
+            # persists in a sidecar. NOT named *.pkl: the reference's loader
+            # int()-parses every .pkl filename in the dir
+            # (reference sharded_vector_database.py:45-46)
+            ivf_sidecar=os.path.join(self.storage_dir, "ivf_layout.bin"),
         )
         self._shards = ShardRegistry(self.storage_dir, shard_size)
         self._wal_path = os.path.join(self.storage_dir, "wal.log")
         self._load_database()
+
+    @property
+    def nprobe(self) -> int:
+        """Default IVF probe width (index='ivf'); same knob as
+        VectorDatabase.nprobe."""
+        return self._engine.ivf_opts["nprobe"]
+
+    @nprobe.setter
+    def nprobe(self, value: int) -> None:
+        self._engine.ivf_opts["nprobe"] = int(value)
 
     # -- reference-compatible attributes -----------------------------------
 
@@ -114,6 +130,19 @@ class ShardedVectorDatabase:
 
     def _load_database(self) -> None:
         all_embeddings, uids, metadatas = [], [], []
+        # read the persisted IVF layout BEFORE engine.load: load() resets
+        # the engine, and reset drops the sidecar file (a reset corpus
+        # invalidates any on-disk layout)
+        ivf_state = None
+        sc = self._engine.ivf_sidecar
+        if sc and os.path.exists(sc):
+            import pickle
+
+            try:
+                with open(sc, "rb") as f:
+                    ivf_state = pickle.load(f)
+            except Exception:
+                ivf_state = None  # corrupt sidecar: retrain on next search
         with self._engine.lock:
             for shard_file in self._shards.shard_files_sorted():
                 data = self._shards.read_shard_file(shard_file)
@@ -127,6 +156,10 @@ class ShardedVectorDatabase:
             if uids:
                 matrix = np.vstack(all_embeddings)
                 self._engine.load(matrix, uids, metadatas)
+                if ivf_state is not None:
+                    # reattached lazily on first search (no k-means re-run);
+                    # WAL-replayed deletes below remap the pending state
+                    self._engine.set_ivf_state(ivf_state)
             self._replay_wal()
 
     def _replay_wal(self) -> None:

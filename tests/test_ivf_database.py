@@ -540,3 +540,76 @@ def test_ivf_precompile_overlap_engine_path(monkeypatch):
     ivf = db._engine._ivf
     assert ivf is not None
     assert ivf._precompile_thread is None  # joined inside build
+
+
+def test_sharded_ivf_layout_persists_in_sidecar():
+    """The sharded class has no single pickle, so the trained IVF layout
+    persists in a non-.pkl sidecar (the reference's loader int()-parses
+    every .pkl name in the dir) and reattaches without retraining."""
+    from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
+
+    folder = f"/tmp/shivf_{uuid.uuid4().hex}"
+    opts = {**_IVF_OPTS, "build_threshold": 64, "nlist": 8}
+    mat = _build_corpus(512)
+    db = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                               index="ivf", ivf_opts=opts)
+    db.store_embeddings_batch(list(range(512)), mat)
+    db.find_most_similar(mat[3], k=5)  # builds + persists the sidecar
+    side = os.path.join(folder, "ivf_layout.bin")
+    assert os.path.exists(side)
+    cents = np.asarray(db._engine._ivf.centroids)
+
+    db2 = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                                index="ivf", ivf_opts=opts)
+    ids, _, _ = db2.find_most_similar(mat[3], k=5)
+    assert ids[0] == 3
+    np.testing.assert_array_equal(
+        cents, np.asarray(db2._engine._ivf.centroids)
+    )
+    snap = db2._engine.telemetry.snapshot()
+    assert snap.get("ivf_build", {}).get("count", 0) == 0  # no retrain
+    assert snap.get("ivf_attach", {}).get("count", 0) == 1
+    assert os.path.exists(side)  # attach rewrote it for the NEXT restart
+
+
+def test_sharded_ivf_sidecar_dropped_on_delete_then_rebuilds():
+    from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
+
+    folder = f"/tmp/shivf_{uuid.uuid4().hex}"
+    opts = {**_IVF_OPTS, "build_threshold": 64, "nlist": 8}
+    mat = _build_corpus(512, seed=3)
+    db = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                               index="ivf", ivf_opts=opts)
+    db.store_embeddings_batch(list(range(512)), mat)
+    db.find_most_similar(mat[3], k=5)
+    side = os.path.join(folder, "ivf_layout.bin")
+    assert os.path.exists(side)
+    db.delete_embeddings_batch([7, 8, 9])
+    assert not os.path.exists(side)  # compaction remapped ids: stale layout
+    db2 = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                                index="ivf", ivf_opts=opts)
+    ids, _, _ = db2.find_most_similar(mat[3], k=5)  # retrains cleanly
+    assert ids[0] == 3
+    assert db2._engine.telemetry.snapshot().get(
+        "ivf_build", {}
+    ).get("count", 0) == 1
+    assert os.path.exists(side)  # fresh build persisted a fresh layout
+
+
+def test_sharded_ivf_sidecar_carries_calibrated_nprobe():
+    from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
+
+    folder = f"/tmp/shivf_{uuid.uuid4().hex}"
+    opts = {**_IVF_OPTS, "build_threshold": 64, "nlist": 8, "nprobe": 1}
+    mat = _build_corpus(2000, seed=4)
+    db = ShardedVectorDatabase(storage_dir=folder, shard_size=500,
+                               index="ivf", ivf_opts=opts)
+    db.store_embeddings_batch(list(range(2000)), mat)
+    hard = np.random.default_rng(5).standard_normal((32, 32)).astype(
+        np.float32
+    )
+    res = db.calibrate_nprobe(0.97, queries=hard)
+    db2 = ShardedVectorDatabase(storage_dir=folder, shard_size=500,
+                                index="ivf", ivf_opts=opts)
+    db2.find_most_similar(mat[0], k=5)  # reattach adopts the calibration
+    assert db2.nprobe == res["nprobe"]
