@@ -416,20 +416,47 @@ class SearchEngine:
         self._ivf_dead_slots = 0
         self._drop_ivf_sidecar()
 
+    def _uid_digest(self, n: int) -> str:
+        """Stable digest of the first n uids IN ROW ORDER. The sidecar
+        carries this so a layout can never attach onto a differently-ordered
+        row space: shard reload order can diverge from the RAM append order
+        the layout was trained against (delete→add churn backfills shard
+        holes, reordering rows on the next load while leaving the count
+        identical). Caller holds the lock."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        for u in self.uids[:n]:
+            h.update(repr(u).encode())
+            h.update(b"\x00")
+        return h.hexdigest()
+
     def _persist_ivf_sidecar(self) -> None:
         """Write the trained layout to ivf_sidecar (sharded databases set
         this path — the flat class persists the layout inside its pickle
         instead). Atomic write; append-only growth after the write is safe
         (rows 0..count are immutable under appends), and every delete DROPS
         the sidecar (row compaction remaps ids, so a stale layout could
-        reattach onto the wrong rows once the count grows back)."""
-        if self.ivf_sidecar is None or self._ivf is None:
+        reattach onto the wrong rows once the count grows back). The stored
+        uid digest guards the reorder case the drop can't see (churn that
+        ends at the same count but a different reload order)."""
+        if self.ivf_sidecar is None:
+            return
+        if self._ivf is not None:
+            state = dict(self._ivf.state_dict())
+            state["uid_digest"] = self._uid_digest(int(state["count"]))
+        elif self._ivf_pending_state is not None:
+            # re-persisting a not-yet-attached layout (e.g. right after the
+            # loader read it): keep its ORIGINAL digest — current uids may
+            # not be loaded yet (WAL-only corpora re-add rows at replay)
+            state = self._ivf_pending_state
+        else:
             return
         import pickle
 
         tmp = self.ivf_sidecar + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(self._ivf.state_dict(), f)
+            pickle.dump(state, f)
         os.replace(tmp, self.ivf_sidecar)
 
     def _drop_ivf_sidecar(self) -> None:
@@ -438,6 +465,17 @@ class SearchEngine:
                 os.unlink(self.ivf_sidecar)
             except FileNotFoundError:
                 pass
+
+    def ivf_active(self) -> bool:
+        """True when queries on this index='ivf' engine would serve from
+        the coarse probe (built, pending, or due to build). The single
+        source of the eligibility gate — _scan and the text-search pipeline
+        both route on it."""
+        return self.index_kind == "ivf" and (
+            self.count >= self.ivf_opts["build_threshold"]
+            or self._ivf is not None
+            or self._ivf_pending_state is not None
+        )
 
     def _on_rows_deleted(self, rows: list[int]) -> None:
         """Row compaction shifted every global id above a deleted row; keep
@@ -473,6 +511,12 @@ class SearchEngine:
             # pending persisted layout: same remap on the host state dict
             # (built_count is derived from its count at attach time)
             n_del = IVFIndex.state_after_deletes(self._ivf_pending_state, rows)
+            if n_del and "uid_digest" in self._ivf_pending_state:
+                # the remapped state is valid for the freshly-compacted
+                # rows — refresh its digest (caller already compacted uids)
+                self._ivf_pending_state["uid_digest"] = self._uid_digest(
+                    int(self._ivf_pending_state["count"])
+                )
         self._ivf_dead_slots += n_del
 
     def set_coalesce_window(self, ms: float) -> None:
@@ -542,7 +586,21 @@ class SearchEngine:
         if self._ivf is None and self._ivf_pending_state is not None:
             st = self._ivf_pending_state
             self._ivf_pending_state = None
-            if 0 < st["count"] <= self.count:
+            dg = st.get("uid_digest")
+            row_space_ok = (
+                dg is None  # flat-pickle states are snapshot-consistent
+                or (
+                    st["count"] <= self.count
+                    and dg == self._uid_digest(int(st["count"]))
+                )
+            )
+            if not row_space_ok:
+                # the persisted layout was trained against a different row
+                # order (shard-hole backfill after delete→add churn) —
+                # attaching would map list slots onto the wrong rows.
+                # Fall through: the rebuild policy retrains cleanly.
+                st = None
+            if st is not None and 0 < st["count"] <= self.count:
                 buf, inv, _ = self._synced_corpus()
                 with self.telemetry.timed("ivf_attach"):
                     self._ivf = self._wrap_ivf(
@@ -936,8 +994,7 @@ class SearchEngine:
                 return None
             search_k = min(k, n_candidates)
             use_ivf = (
-                self.index_kind == "ivf"
-                and not _force_exact
+                not _force_exact
                 and (
                     mask is None
                     or (
@@ -946,11 +1003,7 @@ class SearchEngine:
                         >= self.ivf_opts["filtered_min_frac"] * self.count
                     )
                 )
-                and (
-                    self.count >= self.ivf_opts["build_threshold"]
-                    or self._ivf is not None
-                    or self._ivf_pending_state is not None
-                )
+                and self.ivf_active()
             )
             if use_ivf:
                 self._ensure_ivf()

@@ -90,11 +90,7 @@ class TextSearchPipeline:
         # ride the probe, selective go exact), the overflow merge and the
         # count-guarantee fallback; fusion only ever paid for skipping that
         # hand-off, which stops mattering the moment the scan is probed.
-        if eng.index_kind == "ivf" and (
-            eng.count >= eng.ivf_opts["build_threshold"]
-            or eng._ivf is not None
-            or eng._ivf_pending_state is not None
-        ):
+        if eng.ivf_active():
             q = enc.embed(texts)
             res = eng.search_batch(
                 q, metadata_filter, exclude_filter, or_filters, k

@@ -156,10 +156,18 @@ class ShardedVectorDatabase:
             if uids:
                 matrix = np.vstack(all_embeddings)
                 self._engine.load(matrix, uids, metadatas)
-                if ivf_state is not None:
-                    # reattached lazily on first search (no k-means re-run);
-                    # WAL-replayed deletes below remap the pending state
-                    self._engine.set_ivf_state(ivf_state)
+            if ivf_state is not None:
+                # adopt even when the shard files are empty — a WAL-only
+                # corpus re-adds its rows during replay in the same order
+                # the layout was trained against (the attach-time uid digest
+                # check is the safety net either way). Reattached lazily on
+                # first search (no k-means re-run); WAL-replayed deletes
+                # below remap the pending state.
+                self._engine.set_ivf_state(ivf_state)
+                # load()'s reset dropped the sidecar file; rewrite it NOW so
+                # an open that never searches (ingest-only sessions, early
+                # crashes) cannot lose the trained layout
+                self._engine._persist_ivf_sidecar()
             self._replay_wal()
 
     def _replay_wal(self) -> None:

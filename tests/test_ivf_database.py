@@ -613,3 +613,86 @@ def test_sharded_ivf_sidecar_carries_calibrated_nprobe():
                                 index="ivf", ivf_opts=opts)
     db2.find_most_similar(mat[0], k=5)  # reattach adopts the calibration
     assert db2.nprobe == res["nprobe"]
+
+
+def test_sharded_ivf_sidecar_rejects_reordered_row_space():
+    """Delete→add churn backfills shard holes: the disk reload order then
+    diverges from the RAM append order the layout was trained against, at
+    the SAME count. The attach-time uid digest must reject the stale layout
+    (silent wrong-row attach) and retrain."""
+    from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
+
+    folder = f"/tmp/shivf_{uuid.uuid4().hex}"
+    opts = {**_IVF_OPTS, "build_threshold": 64, "nlist": 8,
+            "rebuild_floor": 1, "rebuild_frac": 0.0}
+    mat = _build_corpus(500, seed=7)
+    db = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                               index="ivf", ivf_opts=opts)
+    db.store_embeddings_batch(list(range(500)), mat)
+    db.find_most_similar(mat[3], k=5)  # build + persist
+    db.delete_embeddings_batch([5, 6, 7])  # hole in shard 0; sidecar drops
+    extra = _build_corpus(3, seed=8)
+    db.store_embeddings_batch([900, 901, 902], extra)  # backfills shard 0
+    db.find_most_similar(mat[3], k=5)  # rebuild (floor=1) + persist again
+    assert os.path.exists(os.path.join(folder, "ivf_layout.bin"))
+    # RAM order: ...499, 900, 901, 902 | disk order: 900-902 sit in shard 0
+    db2 = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                                index="ivf", ivf_opts=opts)
+    assert db2.unique_ids != db.unique_ids  # the reorder actually happened
+    q = _build_corpus(4, seed=9)
+    for b in range(4):
+        ids, _, _ = db2.find_most_similar(q[b], k=10)
+        live = {u: v for u, v in zip(db2.unique_ids, db2.embeddings)}
+        qn = q[b] / np.linalg.norm(q[b])
+        want = sorted(live, key=lambda u: -(live[u] @ qn) / np.linalg.norm(live[u]))[:10]
+        assert set(ids) == set(want)
+    snap = db2._engine.telemetry.snapshot()
+    assert snap.get("ivf_build", {}).get("count", 0) == 1  # digest rejected
+
+
+def test_sharded_ivf_sidecar_survives_ingest_only_open():
+    """An open that never searches must not lose the trained layout (the
+    loader re-persists what load()'s reset dropped)."""
+    from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
+
+    folder = f"/tmp/shivf_{uuid.uuid4().hex}"
+    opts = {**_IVF_OPTS, "build_threshold": 64, "nlist": 8}
+    mat = _build_corpus(400, seed=10)
+    db = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                               index="ivf", ivf_opts=opts)
+    db.store_embeddings_batch(list(range(400)), mat)
+    db.find_most_similar(mat[3], k=5)
+    del db
+    mid = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                                index="ivf", ivf_opts=opts)  # never searches
+    mid.store_embedding(777, _build_corpus(1, seed=11)[0])
+    del mid
+    db3 = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                                index="ivf", ivf_opts=opts)
+    ids, _, _ = db3.find_most_similar(mat[3], k=5)
+    assert ids[0] == 3
+    snap = db3._engine.telemetry.snapshot()
+    assert snap.get("ivf_build", {}).get("count", 0) == 0
+    assert snap.get("ivf_attach", {}).get("count", 0) == 1
+
+
+def test_sharded_ivf_sidecar_attaches_on_wal_only_corpus():
+    """durability='wal' with rows still in the log: replay re-adds them in
+    training order, so the persisted layout attaches without retraining."""
+    from minivectordb_tpu.sharded_vector_database import ShardedVectorDatabase
+
+    folder = f"/tmp/shivf_{uuid.uuid4().hex}"
+    opts = {**_IVF_OPTS, "build_threshold": 64, "nlist": 8}
+    mat = _build_corpus(400, seed=12)
+    db = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                               durability="wal", index="ivf", ivf_opts=opts)
+    db.store_embeddings_batch(list(range(400)), mat)
+    db.find_most_similar(mat[3], k=5)  # build + persist sidecar (rows in WAL)
+    del db
+    db2 = ShardedVectorDatabase(storage_dir=folder, shard_size=100,
+                                durability="wal", index="ivf", ivf_opts=opts)
+    ids, _, _ = db2.find_most_similar(mat[3], k=5)
+    assert ids[0] == 3
+    snap = db2._engine.telemetry.snapshot()
+    assert snap.get("ivf_build", {}).get("count", 0) == 0
+    assert snap.get("ivf_attach", {}).get("count", 0) == 1
