@@ -552,6 +552,33 @@ class SearchEngine:
             "dev_mask_cache_entries": len(self._dev_mask_cache),
         }
 
+    def ivf_stats(self) -> dict | None:
+        """Operator-facing IVF lifecycle state for stats() (None when the
+        engine is not index='ivf'): probe width and whether it was
+        calibrated, indexed vs overflow row split, tombstoned slots, and the
+        effective list count (skew splitting can raise it past nlist)."""
+        if self.index_kind != "ivf":
+            return None
+        with self.lock:
+            ivf = self._ivf
+            return {
+                "built": ivf is not None,
+                "pending_attach": self._ivf_pending_state is not None,
+                "indexed_rows": self._ivf_built_count,
+                "overflow_rows": max(0, self.count - self._ivf_built_count),
+                "dead_slots": self._ivf_dead_slots,
+                "nlist_effective": (
+                    int(ivf.centroids.shape[0])
+                    if ivf is not None and getattr(ivf, "centroids", None)
+                    is not None
+                    else getattr(ivf, "nlist", None) if ivf is not None
+                    else None
+                ),
+                "nprobe": self.ivf_opts["nprobe"],
+                "nprobe_calibrated": self._nprobe_calibrated,
+                "lists_dtype": self.ivf_opts["lists_dtype"],
+            }
+
     def ivf_state(self) -> dict | None:
         """Persistable IVF layout (centroids + slot maps; the packed list
         tensor is rebuilt from the embeddings on load). None when unbuilt."""

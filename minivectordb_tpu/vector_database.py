@@ -335,4 +335,7 @@ class VectorDatabase:
         routing = eng.routing_stats()
         if routing is not None:
             out["routing"] = routing
+        ivf = eng.ivf_stats()
+        if ivf is not None:
+            out["ivf"] = ivf
         return out

@@ -696,3 +696,25 @@ def test_sharded_ivf_sidecar_attaches_on_wal_only_corpus():
     snap = db2._engine.telemetry.snapshot()
     assert snap.get("ivf_build", {}).get("count", 0) == 0
     assert snap.get("ivf_attach", {}).get("count", 0) == 1
+
+
+def test_stats_reports_ivf_lifecycle():
+    db = _ivf_db(_tmpfile(), ivf_opts={**_IVF_OPTS, "build_threshold": 64,
+                                       "nlist": 8})
+    mat = _build_corpus(256, seed=13)
+    db.store_embeddings_batch(list(range(256)), mat)
+    st = db.stats()["ivf"]
+    assert st["built"] is False and st["indexed_rows"] == 0
+    db.find_most_similar(mat[3], k=5)
+    db.store_embedding(999, mat[0] + 0.5)
+    st = db.stats()["ivf"]
+    assert st["built"] is True
+    assert st["indexed_rows"] == 256 and st["overflow_rows"] == 1
+    assert st["nlist_effective"] >= 1
+    assert st["nprobe_calibrated"] is False
+    assert st["lists_dtype"] == "bfloat16"
+    # flat databases report no ivf block
+    from minivectordb_tpu.vector_database import VectorDatabase as _VD
+    flat = _VD.__new__(_VD)  # avoid the module-level monkeypatched factory
+    flat.__init__(_tmpfile())
+    assert "ivf" not in flat.stats()
