@@ -254,8 +254,17 @@ class SearchEngine:
             # corpus evolves through rebuilds instead of drifting under a
             # hand-tuned nprobe.
             "recall_target": None,
-            **(ivf_opts or {}),
         }
+        extra = ivf_opts or {}
+        unknown = set(extra) - set(self.ivf_opts)
+        if unknown:
+            # a typo'd knob silently falling back to its default is the
+            # worst failure mode for a recall/latency tunable
+            raise ValueError(
+                f"Unknown ivf_opts keys: {sorted(unknown)} "
+                f"(valid: {sorted(self.ivf_opts)})"
+            )
+        self.ivf_opts.update(extra)
         self._ivf = None
         self._ivf_built_count = 0
         self._ivf_overflow = None  # VectorStore over rows added post-build

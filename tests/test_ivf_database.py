@@ -718,3 +718,13 @@ def test_stats_reports_ivf_lifecycle():
     flat = _VD.__new__(_VD)  # avoid the module-level monkeypatched factory
     flat.__init__(_tmpfile())
     assert "ivf" not in flat.stats()
+
+
+def test_unknown_ivf_opts_key_raises():
+    import pytest as _pytest
+
+    from minivectordb_tpu.vector_database import VectorDatabase as _VD
+
+    with _pytest.raises(ValueError, match="nprob"):
+        _VD.__new__(_VD).__init__(_tmpfile(), index="ivf",
+                                  ivf_opts={"nprob": 8})
