@@ -728,3 +728,20 @@ def test_unknown_ivf_opts_key_raises():
     with _pytest.raises(ValueError, match="nprob"):
         _VD.__new__(_VD).__init__(_tmpfile(), index="ivf",
                                   ivf_opts={"nprob": 8})
+
+
+def test_nlist_auto_scales_with_corpus():
+    db = _ivf_db(_tmpfile(), ivf_opts={**_IVF_OPTS, "build_threshold": 64,
+                                       "nlist": "auto", "nprobe": 4096})
+    mat = _build_corpus(3000, seed=14)
+    db.store_embeddings_batch(list(range(3000)), mat)
+    ids, _, _ = db.find_most_similar(mat[7], k=5)
+    assert ids[0] == 7
+    # 4*sqrt(3000) ~ 219 -> pow2 256, before skew splits/empties
+    st = db.stats()["ivf"]
+    assert 128 <= st["nlist_effective"] <= 512
+    # exhaustive probe stays exact
+    q = _build_corpus(3, seed=15)
+    for b in range(3):
+        ids, _, _ = db.find_most_similar(q[b], k=10)
+        assert set(ids) == _exact_topk(mat, q[b], 10)
