@@ -26,6 +26,10 @@ import numpy as np
 
 _MASKED_SCORE = np.float32(-3.0e38)
 
+# Test hook: route IVFSnapshot.search through the Pallas kernels even on the
+# CPU backend (they run interpreted there) — covers the TPU branch offline.
+_FORCE_PALLAS_ROUTE = False
+
 
 _ASSIGN_CHUNK = 1 << 16  # rows per assignment step (bounds the sims matrix)
 
@@ -697,7 +701,11 @@ class IVFSnapshot:
             kwide = min(kk_eff, nprobe * int(lists.shape[1]))
         else:
             kwide = kk
-        if jax.default_backend() != "cpu":
+        if _FORCE_PALLAS_ROUTE or jax.default_backend() != "cpu":
+            # _FORCE_PALLAS_ROUTE: tests take this branch on the CPU backend
+            # (the kernels themselves switch to interpret mode there), so
+            # the TPU-route integration — kwide plumbing, selector choice,
+            # mask/rescore chaining — is exercised without a chip
             from minivectordb_tpu.ops.pallas_ivf import (
                 pallas_ivf_search,
                 pallas_ivf_search_grouped,

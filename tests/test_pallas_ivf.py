@@ -45,3 +45,50 @@ def test_pallas_ivf_query_chunking():
         q, 4, 5,
     )
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_snapshot_tpu_route_integration_interpreted(monkeypatch):
+    """Exercise IVFSnapshot.search's TPU branch END TO END on CPU (kernels
+    interpret): grouped route (B>=16) and per-pair route (small B), f32 and
+    bf16+rescore, with and without a filter mask — vs the exact oracle at
+    exhaustive probe. The unit kernel tests can't catch kwide/selector/mask
+    plumbing bugs in the snapshot itself; this does, without a chip."""
+    import jax
+    import minivectordb_tpu.ops.ivf as ivf_mod
+    from minivectordb_tpu.ops.ivf import IVFIndex
+
+    monkeypatch.setattr(ivf_mod, "_FORCE_PALLAS_ROUTE", True)
+    rng = np.random.default_rng(3)
+    n, d = 2048, 128
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    norms = np.linalg.norm(mat, axis=1)
+
+    def oracle(q, k, eligible=None):
+        qn = q / np.linalg.norm(q)
+        s = (mat @ qn) / norms
+        if eligible is not None:
+            s = np.where(eligible, s, -np.inf)
+        return set(np.argsort(-s)[:k].tolist())
+
+    mask = (np.arange(n) % 4) != 3  # 75% eligible
+    mask_dev = jnp.asarray(mask)
+    for dtype in ("float32", "bfloat16", "int8"):
+        index = IVFIndex(nlist=8, nprobe=8, iters=4, device_dtype=dtype)
+        index.build(mat)
+        snap = index.snapshot()
+        for B in (16, 2):  # grouped route / per-pair route
+            q = rng.standard_normal((B, d)).astype(np.float32)
+            vals, ids = snap.search(q, k=10)  # exhaustive probe -> exact-ish
+            for b in range(B):
+                got = set(int(x) for x in ids[b])
+                assert len(got & oracle(q[b], 10)) >= 9, (dtype, B, b)
+            fvals, fids = snap.search(
+                q, k=10, mask_dev=mask_dev, mask_frac=0.75
+            )
+            for b in range(B):
+                got = [int(x) for x, v in zip(fids[b], fvals[b])
+                       if v > -1.0e38]
+                assert all(mask[r] for r in got), (dtype, B, b)
+                assert len(set(got) & oracle(q[b], 10, mask)) >= 9, (
+                    dtype, B, b,
+                )
