@@ -638,5 +638,10 @@ class StoreSnapshot:
             mode in ("exact", "approx")
             and batch >= 16
             and self.dev_capacity >= 4096
-            and jax.default_backend() != "cpu"
+            and (
+                jax.default_backend() != "cpu"
+                # test hook: take the TPU route on CPU (kernels interpret) —
+                # covers the snapshot-level kernel plumbing offline
+                or bool(os.environ.get("MINIVECTORDB_TPU_FORCE_PALLAS"))
+            )
         )

@@ -223,3 +223,46 @@ def test_pallas_scan_randomized_shape_sweep():
                 np.sort(scores[oracle])[::-1],
                 rtol=1e-4, atol=1e-4,
             )
+
+
+def test_store_snapshot_tpu_route_integration_interpreted(monkeypatch):
+    """Exercise StoreSnapshot._device_search's Pallas branch END TO END on
+    CPU (kernels interpret, forced via MINIVECTORDB_TPU_FORCE_PALLAS):
+    exact + approx modes, f32/mixed/int8 buffers, masked and unmasked, vs
+    the numpy oracle — the snapshot-level plumbing (k bucketing, margin
+    selection, mask padding) the kernel unit tests cannot see."""
+    import numpy as np
+
+    from minivectordb_tpu.core.store import VectorStore
+
+    monkeypatch.setenv("MINIVECTORDB_TPU_FORCE_PALLAS", "1")
+    rng = np.random.default_rng(11)
+    n, d, B, k = 4096, 128, 16, 10
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    mask = (np.arange(n) % 5) != 0
+    norms = np.linalg.norm(mat, axis=1)
+
+    def oracle(qb, eligible=None):
+        s = (mat @ (qb / np.linalg.norm(qb))) / norms
+        if eligible is not None:
+            s = np.where(eligible, s, -np.inf)
+        return set(np.argsort(-s)[:k].tolist())
+
+    for dtype, floor in (("float32", 10), ("mixed", 10), ("int8", 9)):
+        store = VectorStore(d, dtype)
+        store.append(mat)
+        snap = store.snapshot()
+        for mode in ("exact", "approx"):
+            vals, idx = snap._device_search(q, k, None, mode)
+            for b in range(B):
+                assert len(set(idx[b].tolist()) & oracle(q[b])) >= floor, (
+                    dtype, mode, b,
+                )
+            mv, mi = snap._device_search(q, k, mask, mode)
+            for b in range(B):
+                got = [int(r) for r, v in zip(mi[b], mv[b]) if v > -1.0e38]
+                assert all(mask[r] for r in got), (dtype, mode, b)
+                assert len(set(got) & oracle(q[b], mask)) >= floor, (
+                    dtype, mode, b,
+                )
