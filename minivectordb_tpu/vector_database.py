@@ -151,8 +151,14 @@ class VectorDatabase:
             ivf_state = self._engine.ivf_state()
             if ivf_state is not None:
                 data["ivf"] = ivf_state
-        with open(self.storage_file, "wb") as f:
+        # atomic replace: the reference pickles in place
+        # (vector_database.py:547), so a crash mid-write leaves a torn file
+        # that poisons every future auto-load; tmp+rename means any crash
+        # leaves either the old snapshot or the new one, never garbage
+        tmp = self.storage_file + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(data, f)
+        os.replace(tmp, self.storage_file)
 
     # -- CRUD --------------------------------------------------------------
 

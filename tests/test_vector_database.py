@@ -474,3 +474,44 @@ def test_load_reference_written_pickle():
         assert db.id_map == {0: 9}
     finally:
         os.remove(path)
+
+
+def test_persist_to_disk_is_atomic():
+    """A crash mid-persist must leave the previous snapshot intact: the
+    write goes to a temp file and renames over the target (the reference
+    pickles in place — a torn file there poisons every future load)."""
+    import os as _os
+    import uuid as _uuid
+
+    import numpy as _np
+
+    path = f"/tmp/atomic_{_uuid.uuid4().hex}.pkl"
+    db = VectorDatabase(path)
+    db.store_embedding(1, _np.ones(8, dtype=_np.float32), {"a": 1})
+    db.persist_to_disk()
+
+    # simulate the crash window: the temp file exists mid-write and the
+    # real file is untouched until the rename
+    real_open = open
+    seen = {}
+
+    def failing_dump(data, f):
+        seen["tmp"] = f.name
+        raise RuntimeError("simulated crash mid-pickle")
+
+    import minivectordb_tpu.vector_database as vd_mod
+
+    orig = vd_mod.pickle.dump
+    vd_mod.pickle.dump = failing_dump
+    try:
+        db.store_embedding(2, _np.zeros(8, dtype=_np.float32))
+        try:
+            db.persist_to_disk()
+        except RuntimeError:
+            pass
+    finally:
+        vd_mod.pickle.dump = orig
+    assert seen["tmp"].endswith(".tmp")
+    # the previous snapshot survived the crash untouched
+    db2 = VectorDatabase(path)
+    assert len(db2.id_map) == 1
