@@ -21,6 +21,18 @@ from collections import defaultdict
 import numpy as np
 
 
+def _atomic_pickle(path: str, data: dict) -> None:
+    """tmp + rename: the reference rewrites shard pickles in place
+    (sharded_vector_database.py:141-142), so a crash mid-write tears the
+    file and loses the WHOLE shard's rows on the next load. The temp name
+    ends in .tmp, not .pkl — the reference's loader int()-parses every .pkl
+    filename in the directory."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(data, f)
+    os.replace(tmp, path)
+
+
 def _shard_path(storage_dir: str, shard_id: int) -> str:
     return os.path.join(storage_dir, f"shard_{shard_id}.pkl")
 
@@ -89,8 +101,7 @@ class ShardRegistry:
     def _write(self, shard_id: int, data: dict) -> None:
         to_save = data.copy()
         to_save["inverted_index"] = dict(data["inverted_index"])
-        with open(_shard_path(self.storage_dir, shard_id), "wb") as f:
-            pickle.dump(to_save, f)
+        _atomic_pickle(_shard_path(self.storage_dir, shard_id), to_save)
 
     def append_to_shard(
         self, shard_id: int, unique_ids, embeddings: np.ndarray, metadata_dicts, dim: int
@@ -123,8 +134,7 @@ class ShardRegistry:
                     ids.discard(uid)
                     if not ids:
                         del data["inverted_index"][key]
-        with open(path, "wb") as f:
-            pickle.dump(data, f)
+        _atomic_pickle(path, data)
         self.box_item_map[shard_id] = data["unique_ids"]
         for uid in doomed:
             self.inverse_box_item_map.pop(uid, None)
