@@ -652,6 +652,7 @@ class SearchEngine:
                     self.ivf_opts["nprobe"] = int(st["nprobe"])
                     self._nprobe_calibrated = True
                 self._pin_ivf_corpus()
+                self._release_mesh_build_buffer()
                 self._start_overflow(st["count"])
                 # rewrite the sidecar: engine.load()'s reset dropped the
                 # file the pending state was read from
@@ -700,6 +701,7 @@ class SearchEngine:
         self._ivf_built_count = count
         self._ivf_dead_slots = 0
         self._pin_ivf_corpus()
+        self._release_mesh_build_buffer()
         self._start_overflow(count)
         if self.ivf_opts.get("recall_target"):
             with self.telemetry.timed("nprobe_calibration"):
@@ -760,6 +762,8 @@ class SearchEngine:
         recurse back through calibrate_nprobe -> _ensure_ivf."""
         ivf = self._ivf.snapshot()
         snap = self._index_snapshot()
+        if self.mesh is not None and getattr(ivf, "quantized", False):
+            ivf.attach_sharded_rescore(snap)
         built = self._ivf_built_count
         if queries is None:
             rng = np.random.default_rng(seed)
@@ -850,12 +854,36 @@ class SearchEngine:
 
     def _wrap_ivf(self, ivf):
         """On a mesh, reshard the trained index list-per-chip
-        (parallel/dist_ivf.py — BASELINE config 5's 'shard-per-chip')."""
+        (parallel/dist_ivf.py — BASELINE config 5's 'shard-per-chip').
+
+        When the engine's distributed exact-scan buffer is f32 (device_dtype
+        'float32'/'mixed' — DistributedScanIndex coerces 'mixed' to f32),
+        the quantized-lists exact rescore runs ROW-SHARDED against that
+        buffer (_scan attaches it per search), so the wrapper drops its
+        single-device corpus reference and _release_mesh_build_buffer can
+        free the store's build-time HBM: no chip holds a full f32 copy."""
         if self.mesh is None:
             return ivf
         from minivectordb_tpu.parallel.dist_ivf import DistributedIVFIndex
 
-        return DistributedIVFIndex(self.mesh, ivf)
+        return DistributedIVFIndex(
+            self.mesh, ivf,
+            keep_single_device_rescore=self.device_dtype
+            not in ("float32", "mixed"),
+        )
+
+    def _release_mesh_build_buffer(self) -> None:
+        """On mesh engines the store's single-device buffer only serves the
+        k-means build (search runs on the sharded corpus; the quantized
+        rescore is either sharded too or pinned via _pin_ivf_corpus): once
+        the index is wrapped and holds no reference to it, free that HBM.
+        Single-device engines keep it — it IS the search buffer."""
+        if (
+            self.mesh is not None
+            and self._ivf is not None
+            and getattr(self._ivf, "_data", None) is None
+        ):
+            self.store.release_device()
 
     def load(self, embeddings, uids, metadatas, inverted_index=None) -> None:
         self.reset()
@@ -1057,6 +1085,13 @@ class SearchEngine:
                 # this scan runs outside the lock against the uids/metadata
                 # captured below
                 ivf = self._ivf.snapshot()
+                if self.mesh is not None and getattr(
+                    ivf, "quantized", False
+                ):
+                    # row-sharded exact rescore: bind the distributed scan
+                    # snapshot (synced here, under the lock, so its rows
+                    # match the id space the probe's tables index into)
+                    ivf.attach_sharded_rescore(self._index_snapshot())
                 built = self._ivf_built_count
                 if self._ivf_overflow is not None and self._ivf_overflow.count:
                     osnap = self._ivf_overflow.snapshot()

@@ -351,6 +351,20 @@ class VectorStore:
         shape build-path programs will be traced against)."""
         return scan_ops.capacity_bucket(max(self.count, 1), _MIN_CAPACITY)
 
+    def release_device(self) -> None:
+        """Drop the device cache (host mirror stays canonical). Mesh engines
+        call this after an IVF build: there the single-device buffer only
+        staged the k-means training scan — searches run on the row-sharded
+        mesh copy — so keeping it would hold a full corpus in one chip's HBM
+        for nothing. The next sync() re-uploads from the host mirror.
+        Outstanding snapshots/pins keep their (immutable, never-donated)
+        arrays alive independently; only the store's own references drop."""
+        self._buf = None
+        self._scan_buf = None
+        self._inv_norms = None
+        self._dev_capacity = 0
+        self._snap_refs = []
+
     def pin(self, holder) -> None:
         """Suppress in-place donation of the CURRENT device buffer while
         ``holder`` is alive (weakref-tracked, like snapshots). Used by the

@@ -35,7 +35,8 @@ _MASKED_SCORE = np.float32(-3.0e38)
 
 
 def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid,
-                       list_inv, q, p, k_local, k_final):
+                       list_inv, q, corpus, corpus_inv, cand_mask, p,
+                       k_local, k_final, kk, sharded_rescore, has_mask):
     """Per-device body under shard_map. cent (L/n, d); lists (L/n, P, d).
 
     list_inv (L/n, P) f32 is the per-slot cosine reconstruction scale for
@@ -43,7 +44,24 @@ def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid,
     placeholder operand that dead-code-eliminates. A float query must NOT be
     `astype(int8)` (truncation collapses unit-norm components to {-1,0,1}):
     mirror the single-device int8 path — symmetric 127-scale rounding with
-    f32 accumulation (exact: 1024 * 127^2 < 2^24)."""
+    f32 accumulation (exact: 1024 * 127^2 < 2^24).
+
+    sharded_rescore: the exact-rescore stage of the two-stage quantized
+    search runs IN here, against a ROW-partitioned f32 corpus (corpus
+    (R/n, d) + corpus_inv (R/n,) — the engine's distributed exact-scan
+    buffer), instead of gathering from a single-device corpus copy: after
+    the all-gather merge every chip holds the same (B, k_final) candidate
+    list; each chip rescores exactly the candidates whose global row id
+    falls in its row block, a pmax combines them (every other chip
+    contributes the sentinel), and the final top-k runs replicated. No chip
+    ever needs the whole f32 corpus resident — the per-chip rescore
+    footprint is corpus/n + a (B, k_final, d) gather, and the only traffic
+    beyond the probe's merge is one (B, k_final) pmax.
+
+    has_mask: cand_mask is a replicated bool row-eligibility array (True =
+    row passes the metadata filter), applied to the merged candidates
+    BEFORE the rescore cut — same ordering as the single-device chain
+    (_mask_scores then _exact_rescore, ops/ivf.py)."""
     qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
     int8 = lists.dtype == jnp.int8
     if int8:
@@ -95,16 +113,45 @@ def _local_probe_merge(cent, cent_live, lists, list_ids, list_valid,
     flat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, n * kl)
     mvals, mpos = jax.lax.top_k(flat_vals, min(k_final, n * kl))
     midx = jnp.take_along_axis(flat_idx, mpos, axis=-1)
+    if has_mask:
+        mvals = jnp.where(cand_mask[midx], mvals, _MASKED_SCORE)
+    if sharded_rescore:
+        local_rows = corpus.shape[0]
+        row_lo = jax.lax.axis_index(SHARD_AXIS) * local_rows
+        loc = jnp.clip(midx - row_lo, 0, local_rows - 1)
+        # candidates this chip owns AND that survived the filter/padding
+        # (padded slots carry arbitrary ids — the sentinel check wins)
+        own = (
+            (midx >= row_lo)
+            & (midx < row_lo + local_rows)
+            & (mvals > _MASKED_SCORE / 2)
+        )
+        g = corpus[loc] * corpus_inv[loc][..., None]  # (B, k_final, d)
+        s = jnp.einsum(
+            "bkd,bd->bk", g, qn, preferred_element_type=jnp.float32
+        )
+        s = jnp.where(own, s, _MASKED_SCORE)
+        # exactly one chip owns each live candidate; the rest hold the
+        # sentinel, so a max-combine reconstructs the full exact scores
+        s = jax.lax.pmax(s, SHARD_AXIS)
+        vals, pos = jax.lax.top_k(s, kk)
+        return vals, jnp.take_along_axis(midx, pos, axis=-1)
     return mvals, midx
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "p", "k_local", "k_final")
+    jax.jit,
+    static_argnames=(
+        "mesh", "p", "k_local", "k_final", "kk", "sharded_rescore", "has_mask"
+    ),
 )
 def _dist_ivf_search(mesh: Mesh, cent, cent_live, lists, list_ids,
-                     list_valid, list_inv, q, p, k_local, k_final):
+                     list_valid, list_inv, q, corpus, corpus_inv, cand_mask,
+                     p, k_local, k_final, kk, sharded_rescore=False,
+                     has_mask=False):
     fn = functools.partial(
-        _local_probe_merge, p=p, k_local=k_local, k_final=k_final
+        _local_probe_merge, p=p, k_local=k_local, k_final=k_final, kk=kk,
+        sharded_rescore=sharded_rescore, has_mask=has_mask,
     )
     return jax.shard_map(
         fn,
@@ -117,10 +164,14 @@ def _dist_ivf_search(mesh: Mesh, cent, cent_live, lists, list_ids,
             P(SHARD_AXIS, None),  # list_valid
             P(SHARD_AXIS, None),  # list_inv (int8 cosine scales)
             P(),  # queries replicated
+            P(SHARD_AXIS, None),  # f32 rescore corpus, row-partitioned
+            P(SHARD_AXIS),  # rescore corpus 1/norms
+            P(),  # filter mask, replicated (indexed by global row id)
         ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(cent, cent_live, lists, list_ids, list_valid, list_inv, q)
+    )(cent, cent_live, lists, list_ids, list_valid, list_inv, q,
+      corpus, corpus_inv, cand_mask)
 
 
 class DistributedIVFIndex:
@@ -130,7 +181,7 @@ class DistributedIVFIndex:
     both uniformly. Construction reshards the packed tensors onto the mesh
     (device-to-device; the single-device copies are dropped)."""
 
-    def __init__(self, mesh: Mesh, ivf):
+    def __init__(self, mesh: Mesh, ivf, keep_single_device_rescore=True):
         self.mesh = mesh
         self.n = mesh.devices.size
         self.nprobe = ivf.nprobe
@@ -170,11 +221,19 @@ class DistributedIVFIndex:
         self._cent_live = jax.device_put(jnp.asarray(live), sh1)
         self._list_inv = jax.device_put(list_inv, sh2)
         # f32 corpus refs for the post-merge exact rescore of quantized
-        # candidates (single-device resident — the store's buffer; gathers
-        # are B x K' rows, tiny next to the sharded probe)
-        self._data = ivf._data
-        self._inv_norms = ivf._inv_norms
+        # candidates. keep_single_device_rescore=True retains the store's
+        # single-device buffer (gathers are B x K' rows). The engine passes
+        # False when its distributed exact-scan buffer is f32: snapshots
+        # then REQUIRE attach_sharded_rescore (the rescore runs against the
+        # row-partitioned corpus inside the probe program) and no chip holds
+        # a full f32 corpus copy — the store's build-time buffer is freed.
         self._quantized = lists.dtype != jnp.float32
+        if keep_single_device_rescore or not self._quantized:
+            self._data = ivf._data
+            self._inv_norms = ivf._inv_norms
+        else:
+            self._data = None
+            self._inv_norms = None
         # padded HOST copies of the slot tables: deletes remap these with
         # pure int32 work and re-upload only the two small tables — the big
         # sharded list tensor never moves (round-3, VERDICT #7)
@@ -239,7 +298,7 @@ class DistributedIVFIndex:
 class DistIVFSnapshot:
     __slots__ = ("mesh", "cent", "cent_live", "tables", "count", "nprobe",
                  "nlist", "pad_len", "local_lists", "n", "list_inv", "data",
-                 "inv_norms", "quantized")
+                 "inv_norms", "quantized", "rescore_src")
 
     def __init__(self, owner: "DistributedIVFIndex"):
         self.mesh = owner.mesh
@@ -256,6 +315,30 @@ class DistIVFSnapshot:
         self.data = owner._data
         self.inv_norms = owner._inv_norms
         self.quantized = owner._quantized
+        self.rescore_src = None
+
+    def attach_sharded_rescore(self, dist_snap) -> bool:
+        """Bind a parallel.dist_scan.DistSnapshot as the exact-rescore
+        corpus: the rescore stage then runs row-partitioned inside the probe
+        program (see _local_probe_merge) instead of gathering from a
+        single-device corpus copy. Holding the snapshot also registers its
+        weakref with the owning DistributedScanIndex, so an incremental
+        corpus update cannot donate the sharded buffer out from under a
+        search in flight (same discipline as core/store.py:pin).
+
+        Returns False (no-op) when the snapshot cannot serve: non-f32
+        buffer (the rescore must be exact), a different mesh, or a buffer
+        that does not cover every candidate row id."""
+        if (
+            not self.quantized
+            or dist_snap is None
+            or dist_snap.mesh is not self.mesh
+            or dist_snap.buf.dtype != jnp.float32
+            or dist_snap.count < self.count
+        ):
+            return False
+        self.rescore_src = dist_snap
+        return True
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None,
                fetch: bool = True, mask_dev=None, mask_frac: float = 1.0):
@@ -281,8 +364,19 @@ class DistIVFSnapshot:
         else:
             kk_eff = kk
         # quantized lists: widen the merged candidate list and rescore it
-        # exactly, same two-stage contract as IVFSnapshot.search
-        rescore = self.quantized and self.data is not None
+        # exactly, same two-stage contract as IVFSnapshot.search. With an
+        # attached distributed scan snapshot the rescore runs ROW-SHARDED
+        # inside the probe program; otherwise it gathers from the retained
+        # single-device corpus.
+        sharded = self.quantized and self.rescore_src is not None
+        rescore = self.quantized and (sharded or self.data is not None)
+        if self.quantized and not rescore:
+            raise RuntimeError(
+                "quantized mesh IVF index holds no rescore corpus: it was "
+                "built for sharded rescore (keep_single_device_rescore="
+                "False) — attach_sharded_rescore(dist_snapshot) before "
+                "searching"
+            )
         if rescore:
             kwide = _rescore_kwide(kk_eff, self.tables[0].dtype)
         elif mask_dev is not None:
@@ -291,6 +385,33 @@ class DistIVFSnapshot:
             kwide = kk
         k_local = min(kwide, p * self.pad_len)
         lists, list_ids, list_valid = self.tables
+        if sharded:
+            src = self.rescore_src
+            has_mask = mask_dev is not None
+            vals, ids = _dist_ivf_search(
+                self.mesh,
+                self.cent,
+                self.cent_live,
+                lists,
+                list_ids,
+                list_valid,
+                self.list_inv,
+                q,
+                src.buf,
+                src.inv_norms,
+                mask_dev
+                if has_mask
+                else jnp.zeros((1,), jnp.bool_),  # placeholder (DCE'd)
+                p,
+                k_local,
+                kwide,
+                kk,
+                sharded_rescore=True,
+                has_mask=has_mask,
+            )
+            if not fetch:
+                return vals[:, :kk], ids[:, :kk]
+            return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]
         vals, ids = _dist_ivf_search(
             self.mesh,
             self.cent,
@@ -300,9 +421,13 @@ class DistIVFSnapshot:
             list_valid,
             self.list_inv,
             q,
+            jnp.zeros((self.n, 1), jnp.float32),  # placeholder corpus
+            jnp.zeros((self.n,), jnp.float32),
+            jnp.zeros((1,), jnp.bool_),
             p,
             k_local,
             kwide,
+            kk,
         )
         if mask_dev is not None:
             from minivectordb_tpu.ops.ivf import _mask_scores

@@ -476,8 +476,11 @@ def test_mesh_ivf_delete_remaps_in_place_no_retrain():
     ids, _, _ = db.find_most_similar(mat[100], k=8)
     assert ids[0] == 100
     assert all(uid >= 60 for uid in ids)
-    # snapshot taken before a delete stays internally consistent
+    # snapshot taken before a delete stays internally consistent (attach
+    # the rescore corpus the way _scan does — under the lock, pre-delete)
     snap = dist.snapshot()
+    with eng.lock:
+        snap.attach_sharded_rescore(eng._index_snapshot())
     db.delete_embedding(100)
     vals, rows = snap.search(mat[101][None, :], 5)
     assert rows.shape == (1, 5)
@@ -745,3 +748,124 @@ def test_nlist_auto_scales_with_corpus():
     for b in range(3):
         ids, _, _ = db.find_most_similar(q[b], k=10)
         assert set(ids) == _exact_topk(mat, q[b], 10)
+
+
+# -- row-sharded exact rescore (round-3 late: no single-device f32 copy) -----
+
+
+def test_mesh_quantized_ivf_sharded_rescore_matches_exact():
+    """Quantized lists on an f32-device mesh engine rescore against the
+    ROW-SHARDED distributed scan buffer: the store's single-device build
+    buffer must be freed, the wrapper must hold no corpus reference, and an
+    exhaustive probe must still be EXACT (the rescore repairs quantized
+    score noise, shard-locally + pmax)."""
+    mesh = _mesh_or_skip()
+    from minivectordb_tpu.parallel.dist_ivf import DistributedIVFIndex
+
+    for lists_dtype in ("bfloat16", "int8"):
+        db = VectorDatabase(
+            storage_file=_tmpfile(),
+            mesh=mesh,
+            index="ivf",
+            ivf_opts={**_IVF_OPTS, "build_threshold": 64, "nlist": 16,
+                      "nprobe": 64, "lists_dtype": lists_dtype},
+        )
+        mat = _build_corpus(600, d=32, clusters=16, seed=6)
+        db.store_embeddings_batch(list(range(600)), mat)
+        q = _build_corpus(5, d=32, clusters=16, seed=7)
+        for b in range(5):
+            ids, scores, _ = db.find_most_similar(q[b], k=10)
+            assert set(ids) == _exact_topk(mat, q[b], 10), lists_dtype
+            # rescored scores are exact f32 cosines, not quantized ones
+            qs = q[b] / np.linalg.norm(q[b])
+            row = mat[ids[0]] / np.linalg.norm(mat[ids[0]])
+            assert abs(scores[0] - float(qs @ row)) < 1e-4
+        eng = db._engine
+        assert isinstance(eng._ivf, DistributedIVFIndex)
+        assert eng._ivf._data is None  # no single-device corpus retained
+        assert eng.store._buf is None  # build buffer freed (release_device)
+
+
+def test_mesh_quantized_ivf_sharded_rescore_filtered():
+    """Broad metadata filters ride the probe on the sharded-rescore path
+    too: the mask applies to the merged candidates BEFORE the rescore cut,
+    inside the shard_map program."""
+    mesh = _mesh_or_skip()
+    db = VectorDatabase(
+        storage_file=_tmpfile(),
+        mesh=mesh,
+        index="ivf",
+        ivf_opts={**_IVF_OPTS, "build_threshold": 64, "nlist": 16,
+                  "nprobe": 64, "lists_dtype": "int8",
+                  "filtered_min_frac": 0.25},
+    )
+    mat = _build_corpus(600, d=32, clusters=16, seed=8)
+    metas = [{"keep": bool(i % 4)} for i in range(600)]  # 75% pass
+    db.store_embeddings_batch(list(range(600)), mat, metas)
+    q = _build_corpus(4, d=32, clusters=16, seed=9)
+    eligible = np.array([bool(i % 4) for i in range(600)])
+    for b in range(4):
+        ids, _, got_metas = db.find_most_similar(
+            q[b], k=8, metadata_filter={"keep": True}
+        )
+        assert all(m["keep"] for m in got_metas)
+        qn = q[b] / np.linalg.norm(q[b])
+        s = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ qn
+        s[~eligible] = -np.inf
+        oracle = set(np.argsort(-s)[:8].tolist())
+        assert set(ids) == oracle
+
+
+def test_mesh_quantized_ivf_sharded_rescore_survives_delete():
+    """Deletes remap ids in place; the next search re-syncs the sharded
+    corpus (compacted rows) under the same lock, so the rescore never reads
+    pre-compaction rows for post-compaction ids."""
+    mesh = _mesh_or_skip()
+    db = VectorDatabase(
+        storage_file=_tmpfile(),
+        mesh=mesh,
+        index="ivf",
+        ivf_opts={**_IVF_OPTS, "build_threshold": 64, "nlist": 16,
+                  "nprobe": 64, "lists_dtype": "bfloat16",
+                  "rebuild_frac": 10.0, "rebuild_floor": 10_000},
+    )
+    mat = _build_corpus(512, d=32, clusters=16, seed=10)
+    db.store_embeddings_batch(list(range(512)), mat)
+    db.find_most_similar(mat[0], k=1)  # build
+    for uid in range(0, 50):
+        db.delete_embedding(uid)
+    live = mat[50:]
+    q = _build_corpus(4, d=32, clusters=16, seed=11)
+    for b in range(4):
+        ids, _, _ = db.find_most_similar(q[b], k=10)
+        oracle = {i + 50 for i in _exact_topk(live, q[b], 10)}
+        assert set(ids) == oracle
+
+
+def test_dist_ivf_sharded_only_requires_attach():
+    """A wrapper built with keep_single_device_rescore=False holds no
+    rescore corpus: searching its snapshot without attach_sharded_rescore
+    must raise loudly (silent quantized-score results would be a stealth
+    recall regression), and attaching a distributed scan snapshot restores
+    exact results."""
+    from minivectordb_tpu.ops.ivf import IVFIndex
+    from minivectordb_tpu.parallel.dist_ivf import DistributedIVFIndex
+    from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
+
+    mesh = _mesh_or_skip()
+    n, d = 2048, 32
+    mat = _build_corpus(n, d=d, clusters=32, seed=12)
+    base = IVFIndex(nlist=32, nprobe=32, iters=6, device_dtype="int8")
+    base.build(mat)
+    dist = DistributedIVFIndex(mesh, base, keep_single_device_rescore=False)
+    assert dist._data is None
+    q = _build_corpus(4, d=d, clusters=32, seed=13)
+    snap = dist.snapshot()
+    with pytest.raises(RuntimeError, match="attach_sharded_rescore"):
+        snap.search(q, 10)
+    scan = DistributedScanIndex(mesh, d)
+    scan.load(mat)
+    assert snap.attach_sharded_rescore(scan.snapshot())
+    vals, ids = snap.search(q, 10, nprobe=dist.nlist)  # exhaustive
+    for b in range(4):
+        assert set(ids[b].tolist()) == _exact_topk(mat, q[b], 10)
