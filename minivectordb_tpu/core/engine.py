@@ -1085,12 +1085,18 @@ class SearchEngine:
                 # this scan runs outside the lock against the uids/metadata
                 # captured below
                 ivf = self._ivf.snapshot()
-                if self.mesh is not None and getattr(
-                    ivf, "quantized", False
+                if (
+                    self.mesh is not None
+                    and getattr(ivf, "quantized", False)
+                    and getattr(ivf, "data", None) is None
                 ):
                     # row-sharded exact rescore: bind the distributed scan
                     # snapshot (synced here, under the lock, so its rows
-                    # match the id space the probe's tables index into)
+                    # match the id space the probe's tables index into).
+                    # Only f32 mesh engines drop the single-device rescore
+                    # corpus (data is None); bf16/int8 engines keep it, and
+                    # building the full sharded exact-scan buffer for them
+                    # would cost a redundant corpus copy per chip.
                     ivf.attach_sharded_rescore(self._index_snapshot())
                 built = self._ivf_built_count
                 if self._ivf_overflow is not None and self._ivf_overflow.count:

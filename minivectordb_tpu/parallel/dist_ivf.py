@@ -385,33 +385,14 @@ class DistIVFSnapshot:
             kwide = kk
         k_local = min(kwide, p * self.pad_len)
         lists, list_ids, list_valid = self.tables
+        has_mask = mask_dev is not None
         if sharded:
-            src = self.rescore_src
-            has_mask = mask_dev is not None
-            vals, ids = _dist_ivf_search(
-                self.mesh,
-                self.cent,
-                self.cent_live,
-                lists,
-                list_ids,
-                list_valid,
-                self.list_inv,
-                q,
-                src.buf,
-                src.inv_norms,
-                mask_dev
-                if has_mask
-                else jnp.zeros((1,), jnp.bool_),  # placeholder (DCE'd)
-                p,
-                k_local,
-                kwide,
-                kk,
-                sharded_rescore=True,
-                has_mask=has_mask,
-            )
-            if not fetch:
-                return vals[:, :kk], ids[:, :kk]
-            return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]
+            src_buf = self.rescore_src.buf
+            src_inv = self.rescore_src.inv_norms
+        else:
+            # placeholder corpus operands (DCE'd by the program)
+            src_buf = jnp.zeros((self.n, 1), jnp.float32)
+            src_inv = jnp.zeros((self.n,), jnp.float32)
         vals, ids = _dist_ivf_search(
             self.mesh,
             self.cent,
@@ -421,29 +402,40 @@ class DistIVFSnapshot:
             list_valid,
             self.list_inv,
             q,
-            jnp.zeros((self.n, 1), jnp.float32),  # placeholder corpus
-            jnp.zeros((self.n,), jnp.float32),
-            jnp.zeros((1,), jnp.bool_),
+            src_buf,
+            src_inv,
+            mask_dev
+            if (has_mask and sharded)
+            else jnp.zeros((1,), jnp.bool_),  # placeholder (DCE'd)
             p,
             k_local,
             kwide,
-            kk,
+            # kk is consumed only inside the sharded-rescore branch; a fixed
+            # placeholder otherwise keeps distinct requested k values (whose
+            # pow2-bucketed kwide coincides) on ONE compiled program, since
+            # kk is a static argname
+            kk if sharded else 0,
+            sharded_rescore=sharded,
+            has_mask=has_mask and sharded,
         )
-        if mask_dev is not None:
-            from minivectordb_tpu.ops.ivf import _mask_scores
+        if not sharded:
+            if has_mask:
+                from minivectordb_tpu.ops.ivf import _mask_scores
 
-            # sentinel-mask ineligible candidates BEFORE the rescore cut
-            vals = _mask_scores(mask_dev, vals, ids)
-        if rescore:
-            from minivectordb_tpu.ops.ivf import _exact_rescore
+                # sentinel-mask ineligible candidates BEFORE the rescore cut
+                vals = _mask_scores(mask_dev, vals, ids)
+            if rescore:
+                from minivectordb_tpu.ops.ivf import _exact_rescore
 
-            vals, ids = _exact_rescore(
-                self.data, self.inv_norms, q, vals, ids, kk
-            )
-        elif mask_dev is not None:
-            from minivectordb_tpu.ops.ivf import _select_topk
+                vals, ids = _exact_rescore(
+                    self.data, self.inv_norms, q, vals, ids, kk
+                )
+            elif has_mask:
+                from minivectordb_tpu.ops.ivf import _select_topk
 
-            vals, ids = _select_topk(vals, ids, min(kk, int(vals.shape[1])))
+                vals, ids = _select_topk(
+                    vals, ids, min(kk, int(vals.shape[1]))
+                )
         if not fetch:
             return vals[:, :kk], ids[:, :kk]
         return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]

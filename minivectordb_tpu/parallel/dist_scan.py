@@ -311,6 +311,11 @@ class DistributedScanIndex:
             self.mesh, self.n, self._buf, self._inv_norms, self.count,
             self._capacity, self.search_impl,
         )
+        # Prune dead refs on every snapshot (same discipline as
+        # VectorStore.snapshot): read-heavy workloads never reach the
+        # write-path prune, and one dead weakref per search would otherwise
+        # accumulate without bound.
+        self._snap_refs = [r for r in self._snap_refs if r() is not None]
         self._snap_refs.append(weakref.ref(snap))
         return snap
 

@@ -869,3 +869,46 @@ def test_dist_ivf_sharded_only_requires_attach():
     vals, ids = snap.search(q, 10, nprobe=dist.nlist)  # exhaustive
     for b in range(4):
         assert set(ids[b].tolist()) == _exact_topk(mat, q[b], 10)
+
+
+def test_mesh_quantized_ivf_non_f32_engine_skips_sharded_corpus():
+    """A bf16/int8 mesh engine retains the wrapper's single-device rescore
+    corpus, so the quantized IVF search must NOT build the full distributed
+    exact-scan buffer as a side effect (attach_sharded_rescore would refuse
+    a non-f32 buffer anyway): the redundant per-chip corpus copy plus its
+    per-write re-sync traffic bought nothing. Regression: round-3 review of
+    the sharded-rescore commit."""
+    mesh = _mesh_or_skip()
+    db = VectorDatabase(
+        storage_file=_tmpfile(),
+        mesh=mesh,
+        device_dtype="int8",
+        index="ivf",
+        ivf_opts={**_IVF_OPTS, "build_threshold": 64, "nlist": 16,
+                  "nprobe": 16, "lists_dtype": "int8"},
+    )
+    mat = _build_corpus(600, d=32, clusters=16, seed=20)
+    db.store_embeddings_batch(list(range(600)), mat)
+    q = _build_corpus(2, d=32, clusters=16, seed=21)
+    ids, _, _ = db.find_most_similar(q[0], k=10)
+    eng = db._engine
+    assert eng._ivf._data is not None  # single-device rescore retained
+    assert eng._dist is None  # no redundant sharded corpus was built
+    # exhaustive probe stays exact through the retained rescore corpus
+    ids, _, _ = db.find_most_similar(q[1], k=10, nprobe=16)
+    assert set(ids) == _exact_topk(mat, q[1], 10)
+
+
+def test_dist_scan_snapshot_refs_pruned_on_reads():
+    """Read-only workloads must not grow DistributedScanIndex._snap_refs
+    without bound: snapshot() prunes dead weakrefs (same discipline as
+    VectorStore.snapshot). Regression: round-3 review."""
+    from minivectordb_tpu.parallel.dist_scan import DistributedScanIndex
+
+    mesh = _mesh_or_skip()
+    mat = _build_corpus(256, d=32, clusters=8, seed=22)
+    scan = DistributedScanIndex(mesh, 32)
+    scan.load(mat)
+    for _ in range(25):
+        scan.snapshot().search(mat[:2], 5)
+    assert len(scan._snap_refs) <= 2
