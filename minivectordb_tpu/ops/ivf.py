@@ -284,6 +284,10 @@ class IVFIndex:
         self.seed = seed
         self._precompile_thread = None
         self._precompiled = {}  # arg-shape-keyed jax compiled executables
+        # duplicate centroids created by skew splitting (see build): search
+        # widens the probe by this many slots so nprobe keeps counting
+        # distinct trained clusters
+        self.n_dup = 0
         self.centroids = None
         self._lists = None
         self._list_ids = None
@@ -450,6 +454,13 @@ class IVFIndex:
                 assign[part] = next_id
                 new_centroids.append(centroids_np[c][None, :])
                 next_id += 1
+        # Splitting grows the centroid count past the configured nlist, which
+        # would silently break the documented "nprobe = nlist is exact"
+        # contract: record the duplicate count so search can scale the probe
+        # slot count by the split factor (duplicates score identically to
+        # their parent, so they interleave with the distinct clusters a
+        # user's nprobe was tuned against).
+        self.n_dup = next_id - nlist
         if next_id > nlist:
             centroids_np = np.vstack(new_centroids)
             nlist = next_id
@@ -586,6 +597,7 @@ class IVFIndex:
                                               False)),
             "iters": self.iters,
             "seed": self.seed,
+            "n_dup": int(self.n_dup),
             "pad_len": self.pad_len,
             "count": self.count,
             "device_dtype": self.device_dtype,
@@ -606,6 +618,7 @@ class IVFIndex:
             seed=state.get("seed", 0),
         )
         idx.nprobe_calibrated = bool(state.get("nprobe_calibrated", False))
+        idx.n_dup = int(state.get("n_dup", 0))
         idx.pad_len = int(state["pad_len"])
         idx.count = int(state["count"])
         idx.centroids = jnp.asarray(state["centroids"])
@@ -635,7 +648,7 @@ class IVFIndex:
         against pre-delete uid lists."""
         return IVFSnapshot(
             self.centroids, self._tables, self.count, self.nprobe,
-            self._list_inv, self._data, self._inv_norms,
+            self._list_inv, self._data, self._inv_norms, self.n_dup,
         )
 
     def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
@@ -644,14 +657,15 @@ class IVFIndex:
 
 class IVFSnapshot:
     __slots__ = ("centroids", "tables", "count", "nprobe", "list_inv",
-                 "data", "inv_norms")
+                 "data", "inv_norms", "n_dup")
 
     def __init__(self, centroids, tables, count, nprobe, list_inv=None,
-                 data=None, inv_norms=None):
+                 data=None, inv_norms=None, n_dup=0):
         self.centroids = centroids
         self.tables = tables
         self.count = count
         self.nprobe = nprobe
+        self.n_dup = n_dup
         self.list_inv = list_inv
         # f32 corpus refs (immutable device arrays) for exact rescore of
         # quantized candidates; None for f32 lists (scores already exact)
@@ -673,7 +687,15 @@ class IVFSnapshot:
         exact masked scan for those (count-guarantee stays with the engine).
         """
         nprobe = self.nprobe if nprobe is None else nprobe
-        nprobe = min(nprobe, int(self.centroids.shape[0]))
+        # nprobe counts DISTINCT trained clusters: skew splitting stores
+        # oversized clusters under duplicate centroids, so scale the slot
+        # count by the split factor (nlist_eff / distinct). This keeps the
+        # probed-fraction semantics a user tunes against independent of
+        # skew, and — because ceil(distinct * eff/distinct) = eff — keeps
+        # the documented "nprobe = nlist is exact" contract.
+        nlist_eff = int(self.centroids.shape[0])
+        distinct = max(1, nlist_eff - self.n_dup)
+        nprobe = min(-(-nprobe * nlist_eff // distinct), nlist_eff)
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)
         if kk <= 0:

@@ -185,6 +185,9 @@ class DistributedIVFIndex:
         self.mesh = mesh
         self.n = mesh.devices.size
         self.nprobe = ivf.nprobe
+        # duplicate centroids from skew splitting: search widens the probe
+        # by this many slots (same contract as IVFSnapshot.search)
+        self.n_dup = getattr(ivf, "n_dup", 0)
         self.count = ivf.count
         self.pad_len = ivf.pad_len
         self._state = ivf.state_dict()  # host-side, small (no list tensor)
@@ -298,7 +301,7 @@ class DistributedIVFIndex:
 class DistIVFSnapshot:
     __slots__ = ("mesh", "cent", "cent_live", "tables", "count", "nprobe",
                  "nlist", "pad_len", "local_lists", "n", "list_inv", "data",
-                 "inv_norms", "quantized", "rescore_src")
+                 "inv_norms", "quantized", "rescore_src", "n_dup")
 
     def __init__(self, owner: "DistributedIVFIndex"):
         self.mesh = owner.mesh
@@ -307,6 +310,7 @@ class DistIVFSnapshot:
         self.tables = owner._tables
         self.count = owner.count
         self.nprobe = owner.nprobe
+        self.n_dup = owner.n_dup
         self.nlist = owner.nlist
         self.pad_len = owner.pad_len
         self.local_lists = owner._local_lists
@@ -350,7 +354,11 @@ class DistIVFSnapshot:
         rows are sentinel-masked before the final cut (list ids are GLOBAL
         row ids on every shard, so one mask array covers the whole mesh)."""
         nprobe = self.nprobe if nprobe is None else nprobe
-        nprobe = min(nprobe, self.nlist)
+        # scale by the skew-split factor so nprobe keeps counting distinct
+        # trained clusters ("nprobe = nlist is exact" contract, same
+        # formula as IVFSnapshot.search)
+        distinct = max(1, self.nlist - self.n_dup)
+        nprobe = min(-(-nprobe * self.nlist // distinct), self.nlist)
         p = min(self.local_lists, -(-nprobe // self.n))  # ceil
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)

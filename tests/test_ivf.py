@@ -227,3 +227,64 @@ def test_precompile_shape_mismatch_falls_back_to_jit():
     vals, ids = index.search(mat[:3], k=5)
     for b in range(3):
         assert ids[b, 0] == b  # self-match first at full probe
+
+
+def test_nprobe_equal_configured_nlist_is_exact_despite_splits():
+    """Skew splitting grows the centroid count past the configured nlist
+    (oversized clusters become duplicate centroids). The module contract is
+    'with nprobe = nlist the search is exact': search must widen the probe
+    by the duplicate count so nprobe keeps counting DISTINCT trained
+    clusters — otherwise a heavily skewed corpus silently turns the
+    documented exhaustive setting into a lossy probe."""
+    from minivectordb_tpu.ops.ivf import IVFIndex
+
+    rng = np.random.default_rng(0)
+    # unclustered Gaussian rows force unbalanced k-means lists -> splits
+    mat = rng.normal(size=(600, 32)).astype(np.float32)
+    idx = IVFIndex(nlist=16, nprobe=16, iters=25, device_dtype="float32")
+    idx.build(mat)
+    assert idx.n_dup > 0, "corpus did not trigger splitting; adjust seed"
+    assert int(idx.centroids.shape[0]) > 16
+    sn = (mat / np.linalg.norm(mat, axis=1, keepdims=True))
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    vals, ids = idx.search(q, 10, nprobe=16)  # nprobe == configured nlist
+    for b in range(4):
+        s = sn @ (q[b] / np.linalg.norm(q[b]))
+        assert set(ids[b].tolist()) == set(np.argsort(-s)[:10].tolist())
+    # persisted layouts carry the widening
+    st = idx.state_dict()
+    assert st["n_dup"] == idx.n_dup
+    re = IVFIndex.from_state(st, mat)
+    vals, ids = re.search(q, 10, nprobe=16)
+    for b in range(4):
+        s = sn @ (q[b] / np.linalg.norm(q[b]))
+        assert set(ids[b].tolist()) == set(np.argsort(-s)[:10].tolist())
+
+
+def test_mesh_nprobe_equal_configured_nlist_is_exact_despite_splits():
+    """Same contract across the mesh wrapper: per-chip probe width derives
+    from the widened nprobe, so nprobe = configured nlist probes every
+    list on every chip."""
+    import jax
+
+    from minivectordb_tpu.ops.ivf import IVFIndex
+    from minivectordb_tpu.parallel.dist_ivf import DistributedIVFIndex
+
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    from jax.sharding import Mesh
+    from minivectordb_tpu.parallel.dist_scan import SHARD_AXIS
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), (SHARD_AXIS,))
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(600, 32)).astype(np.float32)
+    base = IVFIndex(nlist=16, nprobe=16, iters=25, device_dtype="float32")
+    base.build(mat)
+    assert base.n_dup > 0, "corpus did not trigger splitting; adjust seed"
+    dist = DistributedIVFIndex(mesh, base)
+    sn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    vals, ids = dist.search(q, 10, nprobe=16)
+    for b in range(4):
+        s = sn @ (q[b] / np.linalg.norm(q[b]))
+        assert set(ids[b].tolist()) == set(np.argsort(-s)[:10].tolist())
