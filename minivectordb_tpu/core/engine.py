@@ -585,6 +585,13 @@ class SearchEngine:
                 ),
                 "nprobe": self.ivf_opts["nprobe"],
                 "nprobe_calibrated": self._nprobe_calibrated,
+                # duplicate centroids from skew splitting: search scales the
+                # probe slot count by nlist_effective/(nlist_effective -
+                # split_duplicates), so operators can derive the real
+                # per-query probe cost from the configured nprobe
+                "split_duplicates": (
+                    int(getattr(ivf, "n_dup", 0)) if ivf is not None else 0
+                ),
                 "lists_dtype": self.ivf_opts["lists_dtype"],
             }
 
