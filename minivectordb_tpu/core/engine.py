@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from minivectordb_tpu.core.store import VectorStore
+from minivectordb_tpu.ops.scan import fetch_results as _fetch_results
 from minivectordb_tpu.filters.engine import (
     ColumnStore,
     FilterContext,
@@ -175,7 +176,7 @@ class _Coalescer:
                         e[6] = ([], [], [])
                 else:
                     vals, idx, uids, metadata = res
-                    v, ix = np.asarray(vals), np.asarray(idx)  # drain
+                    v, ix = _fetch_results(vals, idx)  # drain
                     for j, e in enumerate(chunk):
                         e[6] = self.engine._format_hits(
                             v[j], ix[j], uids, metadata, rd
@@ -803,7 +804,7 @@ class SearchEngine:
         p, best, rec = 1, nlist, 1.0
         while True:
             vals, ids = ivf.search(q, kk, nprobe=p)
-            vals, ids = np.asarray(vals), np.asarray(ids)
+            vals, ids = _fetch_results(vals, ids)
             # sentinel-padded slots carry arbitrary ids (often 0) — counting
             # them as hits would overstate recall and stop a doubling early
             hits = sum(
@@ -1191,7 +1192,7 @@ class SearchEngine:
                 # through the exact masked scan, which serves exactly
                 # min(k, n_candidates) like the reference. Only the SHORT
                 # rows rerun — the probe work for the rest is kept.
-                vals, idx = np.asarray(vals), np.asarray(idx)
+                vals, idx = _fetch_results(vals, idx)
                 if vals.shape[1] < search_k:
                     short = np.arange(vals.shape[0])
                 else:
@@ -1390,7 +1391,7 @@ class SearchEngine:
             if res is None:
                 return [([], [], [])] * B
             vals, idx, uids, metadata = res
-            v, ix = np.asarray(vals), np.asarray(idx)
+            v, ix = _fetch_results(vals, idx)
             return [
                 self._format_hits(v[b], ix[b], uids, metadata,
                                   return_distances)
@@ -1414,7 +1415,7 @@ class SearchEngine:
                     results[i] = ([], [], [])
                 continue
             vals, idx, uids, metadata = res
-            v, ix = np.asarray(vals), np.asarray(idx)  # drains this group
+            v, ix = _fetch_results(vals, idx)  # drains this group
             for j, i in enumerate(idxs):
                 results[i] = self._format_hits(
                     v[j], ix[j], uids, metadata, return_distances
@@ -1452,8 +1453,8 @@ class SearchEngine:
         nq = q.shape[0]
 
         def materialize():
-            v = np.asarray(vals)  # blocks until the device program drains
-            i = np.asarray(idx)
+            # blocks until the device program drains; one batched transfer
+            v, i = _fetch_results(vals, idx)
             return [
                 self._format_hits(v[b], i[b], uids, metadata,
                                   return_distances)

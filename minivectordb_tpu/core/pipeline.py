@@ -25,7 +25,11 @@ from minivectordb_tpu.models.encoder import (
     encode,
     mean_pool_normalize,
 )
-from minivectordb_tpu.ops.scan import _MASKED_SCORE, topk_last_axis
+from minivectordb_tpu.ops.scan import (
+    _MASKED_SCORE,
+    fetch_results as scan_fetch_results,
+    topk_last_axis,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pooling", "k", "mode"))
@@ -166,8 +170,9 @@ class TextSearchPipeline:
                 snap.buf, snap.inv_norms, snap.count, kb,
                 enc.pooling, row_mask, eng.search_mode,
             )
-            vals = np.asarray(vals)[:, :search_k]
-            idx = np.asarray(idx)[:, :search_k]
+            vals, idx = scan_fetch_results(
+                vals[:, :search_k], idx[:, :search_k]
+            )
         vals = vals[:, :search_k]
         idx = idx[:, :search_k]
 

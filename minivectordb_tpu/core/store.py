@@ -632,9 +632,7 @@ class StoreSnapshot:
         if not fetch:
             # device-resident slices; the caller drains with np.asarray
             return vals[:, :k], idx[:, :k]
-        vals = np.asarray(vals)[:, :k]
-        idx = np.asarray(idx)[:, :k]
-        return vals, idx
+        return scan_ops.fetch_results(vals[:, :k], idx[:, :k])
 
     def _use_pallas(self, mode: str, batch: int) -> bool:
         """Route exact searches through the Pallas two-phase kernel on TPU

@@ -772,4 +772,6 @@ class IVFSnapshot:
             vals, ids = _select_topk(vals, ids, min(kk, int(vals.shape[1])))
         if not fetch:
             return vals, ids
-        return np.asarray(vals), np.asarray(ids)
+        from minivectordb_tpu.ops.scan import fetch_results
+
+        return fetch_results(vals, ids)

@@ -37,6 +37,20 @@ _MASKED_SCORE = np.float32(-3.0e38)
 
 
 
+def fetch_results(vals, idx):
+    """Materialize a (scores, indices) result pair in ONE host transfer.
+
+    Two sequential ``np.asarray`` calls each block on the device and run
+    their own device->host transfer — on a remote-attached device that is
+    two link round trips per search. ``jax.device_get`` on the pair batches
+    both arrays into a single drain. Host-routed results (already numpy)
+    pass through untouched.
+    """
+    if isinstance(vals, np.ndarray) and isinstance(idx, np.ndarray):
+        return vals, idx
+    return jax.device_get((vals, idx))
+
+
 def k_bucket(search_k: int, capacity: int) -> int:
     """Round k up to a power of two (bounds jit cache size)."""
     b = 1

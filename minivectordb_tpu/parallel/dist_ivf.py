@@ -446,4 +446,6 @@ class DistIVFSnapshot:
                 )
         if not fetch:
             return vals[:, :kk], ids[:, :kk]
-        return np.asarray(vals)[:, :kk], np.asarray(ids)[:, :kk]
+        from minivectordb_tpu.ops.scan import fetch_results
+
+        return fetch_results(vals[:, :kk], ids[:, :kk])

@@ -400,4 +400,6 @@ class DistSnapshot:
         )
         if not fetch:
             return vals[:, :k], idx[:, :k]
-        return np.asarray(vals)[:, :k], np.asarray(idx)[:, :k]
+        from minivectordb_tpu.ops.scan import fetch_results
+
+        return fetch_results(vals[:, :k], idx[:, :k])

@@ -122,4 +122,6 @@ class PodScanIndex:
             self.mesh, self._buf, self._inv_norms, jnp.asarray(q),
             self.count, 0, k_local, kb, False, False,
         )
-        return np.asarray(vals)[:, :k], np.asarray(gids)[:, :k]
+        from minivectordb_tpu.ops.scan import fetch_results
+
+        return fetch_results(vals[:, :k], gids[:, :k])
