@@ -205,6 +205,10 @@ def config4_sharded_multithreaded(n=100_000, d=384, quick=False):
         "ingest_vectors_per_s": n / ingest_s,
         "mixed_ops_per_s_4threads": total_ops / mixed_ops_s,
         "mixed_ops_per_s_4threads_coalesced": total_ops / coalesced_s,
+        # the searches in this mix host-route at 100k x 384 (they beat the
+        # remote dispatch), so the 4 threads share this machine's cores —
+        # ops/s scales with the host, not the TPU, in this environment
+        "host_cores": os.cpu_count(),
     }
     shutil.rmtree(folder, ignore_errors=True)
     return out
@@ -382,6 +386,30 @@ def config5_ivf_1m(quick=False):
     results["ivf_vs_exact_b1024_np32"] = (
         results["b1024_nprobe_32"]["qps"] / results["exact_b1024_qps"]
     )
+    # Net-of-upload decomposition: on this dev tunnel the 4 MB query batch
+    # upload alone costs ~150 ms/call, which pins BOTH index kinds to the
+    # same ~6.5k QPS ceiling and hides the index ratio entirely. Subtracting
+    # the measured per-call upload approximates what a local PCIe/ICI link
+    # (sub-ms for 4 MB) would see through this same public API.
+    up_s = results["tunnel_upload_ms_per_b1024_call"] / 1e3
+    bsz = big.shape[0]
+
+    def _net(qps_raw: float) -> float:
+        return bsz / max(bsz / qps_raw - up_s, 1e-9)
+
+    results["net_of_upload"] = {
+        "ivf_b1024_np8_qps": _net(results["b1024_nprobe_8"]["qps"]),
+        "ivf_b1024_np32_qps": _net(results["b1024_nprobe_32"]["qps"]),
+        "exact_b1024_qps": _net(results["exact_b1024_qps"]),
+    }
+    results["net_of_upload"]["ivf_vs_exact_np8"] = (
+        results["net_of_upload"]["ivf_b1024_np8_qps"]
+        / results["net_of_upload"]["exact_b1024_qps"]
+    )
+    results["net_of_upload"]["ivf_vs_exact_np32"] = (
+        results["net_of_upload"]["ivf_b1024_np32_qps"]
+        / results["net_of_upload"]["exact_b1024_qps"]
+    )
 
     if os.path.exists(path):
         os.remove(path)
@@ -390,6 +418,101 @@ def config5_ivf_1m(quick=False):
             "first_search_s": first_search_s,
             "recall_rises": r[0] < r[1] <= r[2],
             **results}
+
+
+def config6_scale_10m(quick=False):
+    """10M x 384 on ONE chip — the single-chip memory-scale headline.
+
+    f32 at this size is 40 GB and cannot fit one v5e (16 GB HBM); the
+    quantized device buffers can: int8 = 4.0 GB, bf16 = 8.1 GB at the
+    10.49M-row linear capacity bucket (pow2 bucketing would have padded to
+    16.8M rows and pushed bf16 out of memory). Uploads stream host-quantized
+    slabs, so the link carries the stored bytes and no f32 intermediate
+    ever lands in HBM. Recall@10 is scored against a host-BLAS exact f32
+    oracle on 64 fresh queries. The reference cannot represent this
+    configuration at all: its float32 numpy mirror + FAISS copy would need
+    ~31 GB of RAM and minutes per exact scan on CPU."""
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    n, d = (300_000, 128) if quick else (10_000_000, 384)
+    nq = 64
+    rng = np.random.default_rng(5)
+    n_centers = 2000
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 2.5
+    assign = rng.integers(0, n_centers, n)
+    mat = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    del assign
+    queries = rng.standard_normal((nq, d)).astype(np.float32)
+
+    # exact f32 oracle on the host (chunked so the temporary stays small)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    chunk = 1_000_000
+    # keep a running top-10 per query across corpus chunks
+    top_v = np.full((nq, 10), -np.inf, np.float32)
+    top_i = np.zeros((nq, 10), np.int64)
+    for s in range(0, n, chunk):
+        block = mat[s : s + chunk]
+        bn = np.linalg.norm(block, axis=1)
+        sc = (block @ qn.T).T / np.maximum(bn, 1e-30)  # (nq, chunk)
+        cat_v = np.concatenate([top_v, sc], axis=1)
+        cat_i = np.concatenate(
+            [top_i, np.broadcast_to(np.arange(s, s + block.shape[0]),
+                                    (nq, block.shape[0]))], axis=1
+        )
+        part = np.argpartition(-cat_v, 10, axis=1)[:, :10]
+        top_v = np.take_along_axis(cat_v, part, axis=1)
+        top_i = np.take_along_axis(cat_i, part, axis=1)
+    order = np.argsort(-top_v, axis=1)
+    truth = np.take_along_axis(top_i, order, axis=1)
+    oracle_s = time.perf_counter() - t0
+
+    results = {"n": n, "d": d, "host_oracle_s": oracle_s}
+    big = np.tile(queries, (16, 1))
+    for dtype in ("int8", "bfloat16"):
+        path = f"/tmp/bench_cfg6_{dtype}.pkl"
+        if os.path.exists(path):
+            os.remove(path)
+        try:
+            db = VectorDatabase(storage_file=path, device_dtype=dtype)
+            t0 = time.perf_counter()
+            db.store_embeddings_batch(list(range(n)), mat)
+            ingest_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            db.warmup()  # host-quantized streaming upload + compiles
+            warmup_s = time.perf_counter() - t0
+            ops = db.stats()["ops"]
+            sync_s = ops.get("corpus_sync", {}).get("total_s", 0.0)
+            db.find_most_similar_batch(big, k=10)  # warm the b1024 program
+            iters = 8
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                res = db.find_most_similar_batch(big, k=10)
+            qps = iters * big.shape[0] / (time.perf_counter() - t0)
+            hits = sum(
+                len(set(res[b][0]) & set(truth[b].tolist()))
+                for b in range(nq)
+            )
+            cap = db._engine.store.next_device_capacity()
+            itemsize = 1 if dtype == "int8" else 2
+            results[dtype] = {
+                "qps_b1024": qps,
+                "recall_at_10": hits / (10 * nq),
+                "ingest_s": ingest_s,
+                "warmup_s": warmup_s,
+                "corpus_sync_s": sync_s,
+                "device_buffer_gb": cap * d * itemsize / 1e9,
+            }
+            del db
+        except Exception as e:  # one dtype failing must not kill the other
+            results[dtype] = {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            if os.path.exists(path):
+                os.remove(path)
+            import gc
+
+            gc.collect()
+    return results
 
 
 def encoder_throughput(quick=False):
@@ -491,6 +614,7 @@ def main():
         ("config4_sharded_multithreaded", config4_sharded_multithreaded,
          {"quick": args.quick}),
         ("config5_ivf", config5_ivf_1m, {"quick": args.quick}),
+        ("config6_scale_10m", config6_scale_10m, {"quick": args.quick}),
         ("encoder_throughput", encoder_throughput, {"quick": args.quick}),
         ("recall_harness", recall_harness, {"quick": args.quick}),
     ]

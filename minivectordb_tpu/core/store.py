@@ -257,24 +257,85 @@ class VectorStore:
         }[self.device_dtype]
 
     def _full_upload(self, dev_cap: int) -> None:
-        padded = np.zeros((dev_cap, self.dim), dtype=np.float32)
-        padded[: self.count] = self._data[: self.count]
-        host = scan_ops.chunked_device_put(padded)
-        if self.device_dtype == "int8":
-            zeros_buf = jnp.zeros((dev_cap, self.dim), dtype=jnp.int8)
-            zeros_n = jnp.zeros((dev_cap,), dtype=jnp.float32)
-            self._buf, self._inv_norms = scan_ops.update_rows_int8(
-                zeros_buf, zeros_n, host, 0
-            )
-        else:
-            buf = host.astype(self._jnp_dtype())
-            self._buf = buf
-            self._inv_norms = scan_ops.row_inv_norms(host)
-            if self.device_dtype == "mixed":
-                self._scan_buf = host.astype(jnp.bfloat16)
+        """Stream host slabs straight into the target-dtype buffer with
+        donated in-place writes. The old path materialized a full
+        (dev_cap, d) f32 intermediate on device before casting/quantizing —
+        26 GB of HBM at 10M x 384, where the int8 buffer itself is 4 GB —
+        so quantized corpora OOM'd far below the dtype's true capacity.
+        Quantized modes also cast HOST-side, so the link carries exactly
+        the stored bytes (4x fewer for int8, 2x for bf16), not the f32
+        originals. Slab rows beyond `count` may carry stale host-mirror
+        data; like the incremental-sync padding they land in the dead zone
+        beyond `count`, masked at search time."""
+        dtype = self._jnp_dtype()
+        n, d = self.count, self.dim
+        buf = jnp.zeros((dev_cap, d), dtype=dtype)
+        inv = jnp.zeros((dev_cap,), dtype=jnp.float32)
+        scan_buf = (
+            jnp.zeros((dev_cap, d), dtype=jnp.bfloat16)
+            if self.device_dtype == "mixed"
+            else None
+        )
+        buf, inv, scan_buf = self._stream_rows(
+            buf, inv, scan_buf, 0, n, dev_cap, donate=True
+        )
+        self._buf = buf
+        self._inv_norms = inv
+        if self.device_dtype == "mixed":
+            self._scan_buf = scan_buf
         self._dev_capacity = dev_cap
         self._dirty_from = self.count
         self._snap_refs = []
+
+    def _stream_rows(self, buf, inv, scan_buf, lo, hi, dev_cap, donate):
+        """Write host rows [lo, hi) into the device buffers in bounded
+        power-of-two slabs (each padded window shifted left at the buffer
+        edge; rewriting already-clean rows is harmless). `donate` applies to
+        the FIRST write only — every later write receives the fresh buffer
+        the previous one produced, which nothing else can reference."""
+        itemsize = {"int8": 1, "bfloat16": 2}.get(self.device_dtype, 4)
+        slab = scan_ops.upload_slab_rows(self.dim, itemsize)
+        start = lo
+        while start < hi:
+            p = min(slab, scan_ops.capacity_bucket(hi - start, 8))
+            w = min(start, dev_cap - p)
+            piece = self._data[w : w + p]
+            if self.device_dtype in ("int8", "bfloat16"):
+                # quantize/cast HOST-side: the link carries the stored
+                # bytes (4x/2x fewer than f32), same math as the device
+                # update programs (scan_ops.quantize_rows_int8_host /
+                # cast_rows_bf16_host mirror them)
+                qr, inorm = (
+                    scan_ops.quantize_rows_int8_host(piece)
+                    if self.device_dtype == "int8"
+                    else scan_ops.cast_rows_bf16_host(piece)
+                )
+                wr = (
+                    scan_ops.write_rows_pre
+                    if donate
+                    else scan_ops.write_rows_pre_nodonate
+                )
+                buf, inv = wr(
+                    buf, inv, jnp.asarray(qr), jnp.asarray(inorm), w
+                )
+            else:
+                rows = jnp.asarray(np.ascontiguousarray(piece))
+                upd = (
+                    scan_ops.update_rows
+                    if donate
+                    else scan_ops.update_rows_nodonate
+                )
+                buf, inv = upd(buf, inv, rows, w)
+                if scan_buf is not None:
+                    updc = (
+                        scan_ops.update_rows_cast
+                        if donate
+                        else scan_ops.update_rows_cast_nodonate
+                    )
+                    scan_buf = updc(scan_buf, rows, w)
+            donate = True
+            start = w + p
+        return buf, inv, scan_buf
 
     def _may_donate(self) -> bool:
         """True when no live snapshot references the current device buffer
@@ -293,43 +354,23 @@ class VectorStore:
             if n > _FULL_SYNC_FRACTION * dev_cap:
                 self._full_upload(dev_cap)
             else:
-                # Pad the update to a power-of-two row count so each update
-                # shape compiles once; padding rows land in the dead zone
-                # beyond `count` (masked at search time) unless they would
-                # run off the buffer, in which case shift the window left
-                # (re-writing some already-clean rows is harmless).
-                p = scan_ops.capacity_bucket(n, 8)
-                if start + p > dev_cap:
-                    start = dev_cap - p
-                rows = jnp.asarray(
-                    np.ascontiguousarray(self._data[start : start + p])
+                # Stream the dirty range up in padded power-of-two slabs
+                # (one compile per slab shape); padding rows land in the
+                # dead zone beyond `count` (masked at search time) unless
+                # they would run off the buffer, in which case the window
+                # shifts left (re-writing clean rows is harmless).
+                buf, inv, scan_buf = self._stream_rows(
+                    self._buf,
+                    self._inv_norms,
+                    self._scan_buf if self.device_dtype == "mixed" else None,
+                    start,
+                    self.count,
+                    dev_cap,
+                    donate=self._may_donate(),
                 )
-                donate = self._may_donate()
-                if self.device_dtype == "int8":
-                    upd8 = (
-                        scan_ops.update_rows_int8
-                        if donate
-                        else scan_ops.update_rows_int8_nodonate
-                    )
-                    self._buf, self._inv_norms = upd8(
-                        self._buf, self._inv_norms, rows, start
-                    )
-                else:
-                    upd = (
-                        scan_ops.update_rows
-                        if donate
-                        else scan_ops.update_rows_nodonate
-                    )
-                    self._buf, self._inv_norms = upd(
-                        self._buf, self._inv_norms, rows, start
-                    )
-                    if self.device_dtype == "mixed":
-                        updc = (
-                            scan_ops.update_rows_cast
-                            if donate
-                            else scan_ops.update_rows_cast_nodonate
-                        )
-                        self._scan_buf = updc(self._scan_buf, rows, start)
+                self._buf, self._inv_norms = buf, inv
+                if self.device_dtype == "mixed":
+                    self._scan_buf = scan_buf
                 # the update replaced self._buf, so previously-registered
                 # snapshots no longer reference the current buffer
                 self._snap_refs = []
@@ -520,13 +561,27 @@ class StoreSnapshot:
         link."""
         batch = 1 if np.ndim(queries) == 1 else int(np.shape(queries)[0])
         if not fetch:
-            # async callers pipeline on the device; only the tiny-corpus
-            # always-host shortcut stays (it is faster than any dispatch)
-            if (
-                self._host_eligible(mode, batch)
-                and self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES
-            ):
-                return self._host_search(queries, k, mask)
+            # async callers pipeline on the device — but when the adaptive
+            # router already knows the HOST wins this shape (small corpus,
+            # high-latency link), serve host: the results come back
+            # materialized (numpy passes through the deferred-drain
+            # contract), which is still faster than a losing dispatch.
+            if self._host_eligible(mode, batch):
+                if self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES:
+                    return self._host_search(queries, k, mask)
+                which = self.router.choose()
+                if which == "probe":
+                    self._launch_device_probe(np.shape(queries), k, mode)
+                    which = "host"
+                if which == "host":
+                    t0 = time.perf_counter()
+                    out = self._host_search(queries, k, mask)
+                    self.router.record("host", time.perf_counter() - t0)
+                    return out
+                # device chosen: fall through to the deferred dispatch,
+                # UN-timed — it returns before the work drains, so timing
+                # it here would poison the device EMA with dispatch-only
+                # latency
             return self._device_search(queries, k, mask, mode, fetch=False,
                                        mask_dev=mask_dev)
         if self._host_eligible(mode, batch):

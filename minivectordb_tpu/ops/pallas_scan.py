@@ -43,9 +43,10 @@ _PHASE3_CHUNK = 64  # queries per phase-3 gather step
 def _row_tile(d: int, c: int | None = None) -> int:
     """Rows per grid step, sized so one buffer block stays ~<=2 MB of VMEM
     (double buffering + q + outputs must fit in ~16 MB). Always a multiple
-    of 256 so the output block keeps whole sublanes. With `c` (total rows,
-    a power of two), the tile is clamped to c so small per-shard buffers
-    (mesh-sharded corpora) stay eligible."""
+    of 256 so the output block keeps whole sublanes. With `c` (total rows —
+    a power of two, or a 2^21-multiple above the linear bucket tier), the
+    tile is clamped to c so small per-shard buffers (mesh-sharded corpora)
+    stay eligible."""
     tile = 256
     for t in (4096, 2048, 1024, 512):
         if t * d * 4 <= (2 << 20):
@@ -327,8 +328,10 @@ def pallas_scan_topk(buf, inv_norms, q, count, k, mask=None,
                      margin: int | None = None, scan_buf=None):
     """Exact fused scan + top-k without materializing (B, C) scores.
 
-    buf: (C, d) float32/bfloat16, C a power of two >= 4096 (so every
-    row-tile size divides it); q: (B, d) float32; count: live rows.
+    buf: (C, d) float32/bfloat16, C >= 4096 and a multiple of 4096 (a
+    power of two, or a 2^21-multiple above the linear bucket tier — see
+    ops/scan.py:capacity_bucket — so every row-tile size divides it);
+    q: (B, d) float32; count: live rows.
     Returns (values (B, k) f32, indices (B, k) int32), descending.
 
     scan_buf: optional lower-precision shadow of buf (e.g. bfloat16) used

@@ -59,11 +59,26 @@ def k_bucket(search_k: int, capacity: int) -> int:
     return min(b, capacity)
 
 
+# Above this row count, capacity buckets step linearly instead of doubling:
+# pow2 doubling wastes up to half of HBM exactly where it is scarce (a
+# 10M-row corpus would pad to 16.8M rows — 6.4 GB of dead int8 at d=384).
+_LINEAR_BUCKET_STEP = 1 << 21
+
+
 def capacity_bucket(n: int, minimum: int = 1024) -> int:
-    """Round a row count up to a power-of-two HBM buffer capacity."""
+    """Round a row count up to an HBM buffer capacity bucket.
+
+    Power-of-two up to 2^21 rows, then multiples of 2^21: the overshoot is
+    capped at 2^21 rows while the compile cache stays bounded (one program
+    per multiple). Every bucket is a multiple of 4096 above that size, so
+    the Pallas row tiles (power-of-two, <= 4096) always divide it, and the
+    function stays monotone (callers rely on bucket(a) <= bucket(b) for
+    a <= b when clamping padded writes to the buffer)."""
     c = minimum
-    while c < n:
+    while c < n and c < _LINEAR_BUCKET_STEP:
         c <<= 1
+    if c < n:
+        c = -(-n // _LINEAR_BUCKET_STEP) * _LINEAR_BUCKET_STEP
     return c
 
 
@@ -204,6 +219,14 @@ update_rows_nodonate = jax.jit(_update_rows_impl)
 _UPLOAD_SLAB_BYTES = 256 << 20
 
 
+def upload_slab_rows(d: int, itemsize: int = 4) -> int:
+    """Power-of-two rows per bulk-upload slab, sized so one slab transfers
+    ~<= _UPLOAD_SLAB_BYTES of the UPLOADED dtype (pass its itemsize:
+    quantized uploads move 4x/2x more rows per slab for the same bytes)."""
+    slab = max(8, _UPLOAD_SLAB_BYTES // max(d * itemsize, 1))
+    return max(8, capacity_bucket(slab, 8) >> 1)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_slab(buf, rows, start):
     return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (start, 0))
@@ -259,3 +282,50 @@ update_rows_int8 = functools.partial(jax.jit, donate_argnums=(0, 1))(
     _update_rows_int8_impl
 )
 update_rows_int8_nodonate = jax.jit(_update_rows_int8_impl)
+
+
+def quantize_rows_int8_host(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side mirror of ``_update_rows_int8_impl``'s per-row symmetric
+    127-scale quantization (numpy round is the same round-half-to-even), so
+    bulk uploads can send the STORED int8 bytes over the link instead of the
+    f32 originals — 4x fewer bytes host->device. Returns (int8 rows,
+    f32 1/||int8 row|| inverse norms, 0 for all-zero rows)."""
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    rmax = np.max(np.abs(rows), axis=-1, keepdims=True)
+    rscale = np.maximum(rmax, np.float32(1e-30)) / np.float32(127.0)
+    ri = np.clip(np.round(rows / rscale), -127, 127).astype(np.int8)
+    sq = np.sum(np.square(ri, dtype=np.float32), axis=-1, dtype=np.float32)
+    inorm = np.where(
+        sq > 0, 1.0 / np.sqrt(np.maximum(sq, np.float32(1e-38))), 0.0
+    ).astype(np.float32)
+    return ri, inorm
+
+
+def cast_rows_bf16_host(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side mirror of ``_update_rows_impl`` for a bfloat16 buffer: cast
+    the rows to bf16 (halving the link bytes) and compute the inverse norms
+    from the bf16-ROUNDED values, exactly as the device update path does
+    (it casts first, then norms the cast rows)."""
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    rb = rows.astype(jnp.bfloat16)
+    back = rb.astype(np.float32)
+    sq = np.sum(np.square(back, dtype=np.float32), axis=-1, dtype=np.float32)
+    inorm = np.where(
+        sq > 0, 1.0 / np.sqrt(np.maximum(sq, np.float32(1e-38))), 0.0
+    ).astype(np.float32)
+    return rb, inorm
+
+
+def _write_rows_pre_impl(buf, inv_norms, rows, inorm, start):
+    """Write PRE-quantized rows (dtype already == buf.dtype) and their
+    host-computed inverse norms in place — the device does no cast work, so
+    the transfer carries exactly the stored bytes."""
+    buf = jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+    inv_norms = jax.lax.dynamic_update_slice(inv_norms, inorm, (start,))
+    return buf, inv_norms
+
+
+write_rows_pre = functools.partial(jax.jit, donate_argnums=(0, 1))(
+    _write_rows_pre_impl
+)
+write_rows_pre_nodonate = jax.jit(_write_rows_pre_impl)

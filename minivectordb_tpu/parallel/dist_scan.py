@@ -239,39 +239,48 @@ class DistributedScanIndex:
         }[self.device_dtype]
 
     def load(self, matrix: np.ndarray) -> None:
+        from minivectordb_tpu.ops import scan as scan_ops
+
         matrix = np.ascontiguousarray(matrix, dtype=np.float32)
         self.count = matrix.shape[0]
-        cap = 1024
-        while cap < self.count:
-            cap <<= 1
-        # capacity is a power of two >= 1024, so divisible by any pow2 mesh;
-        # round up to a multiple of n for odd mesh sizes.
+        # pow2 up to 2^21 rows, then 2^21-multiples (ops/scan.py:
+        # capacity_bucket) — both divisible by any pow2 mesh and by the
+        # Pallas row tiles; round up to a multiple of n for odd mesh sizes
+        # (the _use_pallas eligibility check guards the tile contract then).
+        cap = scan_ops.capacity_bucket(max(self.count, 1), 1024)
         if cap % self.n:
             cap += self.n - cap % self.n
-        padded = np.zeros((cap, self.dim), dtype=np.float32)
-        padded[: self.count] = matrix
         axes = tuple(self.mesh.axis_names)
         sh = NamedSharding(self.mesh, P(axes, None))
         sh1 = NamedSharding(self.mesh, P(axes))
-        raw = jax.device_put(padded, sh)
-        self.bytes_uploaded += padded.nbytes
-        if self.device_dtype == "int8":
-            from minivectordb_tpu.ops.scan import update_rows_int8
-
-            zeros_buf = jax.device_put(
-                np.zeros((cap, self.dim), np.int8), sh
-            )
-            zeros_n = jax.device_put(np.zeros((cap,), np.float32), sh1)
-            self._buf, self._inv_norms = update_rows_int8(
-                zeros_buf, zeros_n, raw, 0
-            )
+        if self.device_dtype in ("int8", "bfloat16"):
+            # quantize/cast HOST-side (same helpers as the single-chip
+            # store, so mesh and flat engines store bit-identical rows):
+            # the link carries the stored bytes — 4x/2x fewer than f32 —
+            # and no full-width f32 intermediate ever lands in HBM.
+            dt = np.int8 if self.device_dtype == "int8" else jnp.bfloat16
+            padded = np.zeros((cap, self.dim), dtype=dt)
+            inorm = np.zeros((cap,), dtype=np.float32)
+            if self.count:
+                q, i = (
+                    scan_ops.quantize_rows_int8_host(matrix)
+                    if self.device_dtype == "int8"
+                    else scan_ops.cast_rows_bf16_host(matrix)
+                )
+                padded[: self.count] = q
+                inorm[: self.count] = i
+            self._buf = jax.device_put(padded, sh)
+            self._inv_norms = jax.device_put(inorm, sh1)
+            self.bytes_uploaded += padded.nbytes + inorm.nbytes
         else:
             from minivectordb_tpu.ops.scan import row_inv_norms
 
+            padded = np.zeros((cap, self.dim), dtype=np.float32)
+            padded[: self.count] = matrix
+            raw = jax.device_put(padded, sh)
+            self.bytes_uploaded += padded.nbytes
             self._inv_norms = row_inv_norms(raw)
-            self._buf = raw if self.device_dtype == "float32" else raw.astype(
-                jnp.bfloat16
-            )
+            self._buf = raw
         self._capacity = cap
         self._snap_refs = []
 
@@ -283,23 +292,34 @@ class DistributedScanIndex:
         from minivectordb_tpu.ops import scan as scan_ops
 
         rows = np.ascontiguousarray(rows, dtype=np.float32)
-        rows_dev = jnp.asarray(rows)
-        self.bytes_uploaded += rows.nbytes
         self._snap_refs = [r for r in self._snap_refs if r() is not None]
         donate = not self._snap_refs
-        if self.device_dtype == "int8":
-            upd = (
-                scan_ops.update_rows_int8
-                if donate
-                else scan_ops.update_rows_int8_nodonate
+        if self.device_dtype in ("int8", "bfloat16"):
+            # host-side quantize/cast: stored bytes over the link (same
+            # helpers as load and the single-chip store)
+            qr, inorm = (
+                scan_ops.quantize_rows_int8_host(rows)
+                if self.device_dtype == "int8"
+                else scan_ops.cast_rows_bf16_host(rows)
             )
+            wr = (
+                scan_ops.write_rows_pre
+                if donate
+                else scan_ops.write_rows_pre_nodonate
+            )
+            self._buf, self._inv_norms = wr(
+                self._buf, self._inv_norms,
+                jnp.asarray(qr), jnp.asarray(inorm), start,
+            )
+            self.bytes_uploaded += qr.nbytes + inorm.nbytes
         else:
             upd = (
                 scan_ops.update_rows if donate else scan_ops.update_rows_nodonate
             )
-        self._buf, self._inv_norms = upd(
-            self._buf, self._inv_norms, rows_dev, start
-        )
+            self._buf, self._inv_norms = upd(
+                self._buf, self._inv_norms, jnp.asarray(rows), start
+            )
+            self.bytes_uploaded += rows.nbytes
         self._snap_refs = []
         self.count = int(new_count)
 
