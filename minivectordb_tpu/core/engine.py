@@ -158,6 +158,22 @@ class _Coalescer:
                 for lo in range(0, len(entries), self.max_batch):
                     chunk = entries[lo: lo + self.max_batch]
                     qs = np.stack([e[1] for e in chunk])
+                    # Pad the group to a power-of-two batch (>= 8): group
+                    # sizes vary with arrival timing, and every distinct
+                    # batch shape would otherwise compile its own device
+                    # program — tens of seconds each over a remote link
+                    # (measured: an unpadded 4-thread mixed benchmark sank
+                    # to 0.17 ops/s recompiling shapes 2, 3 and 4). The
+                    # pad rows are zero vectors; their result slots are
+                    # never read.
+                    g = qs.shape[0]
+                    gp = 8
+                    while gp < g:
+                        gp <<= 1
+                    if gp != g:
+                        qs = np.concatenate(
+                            [qs, np.zeros((gp - g, qs.shape[1]), qs.dtype)]
+                        )
                     try:
                         res = self.engine._scan(
                             qs, chunk[0][2], chunk[0][3], chunk[0][4], kk,

@@ -222,3 +222,77 @@ def test_runtime_window_toggle_under_traffic(tmp_path, corpus):
     for t in threads:
         t.join()
     assert not errors, errors[:3]
+
+
+def test_group_dispatch_padded_to_pow2(tmp_path, corpus):
+    """Group sizes vary with arrival timing; every distinct batch shape
+    would compile its own device program (minutes over a remote link), so
+    the coalescer must pad each group's stack to one pow2 shape (>= 8)."""
+    db = VectorDatabase(storage_file=str(tmp_path / "p.pkl"),
+                        coalesce_window_ms=30.0)
+    _fill(db, corpus)
+    seen = []
+    eng = db._engine
+    orig = eng._scan
+
+    def spy(qs, *a, **kw):
+        seen.append(np.shape(qs)[0])
+        return orig(qs, *a, **kw)
+
+    eng._scan = spy
+    try:
+        for n_threads in (1, 3, 4):
+            seen.clear()
+            results = {}
+
+            def hit(i):
+                results[i] = db.find_most_similar(corpus[i], k=3)
+
+            ts = [threading.Thread(target=hit, args=(i,))
+                  for i in range(n_threads)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert seen, "no dispatch recorded"
+            assert all(s == 8 for s in seen), seen  # one shared shape
+            for i in results:
+                assert results[i][0][0] == i  # self-match first
+    finally:
+        eng._scan = orig
+
+
+def test_deferred_fetch_host_routes_when_host_wins():
+    """fetch=False callers (coalesced groups, async batches) must not be
+    forced onto a losing device dispatch: when the router's EMAs say the
+    host path wins, the deferred search serves materialized host results."""
+    from minivectordb_tpu.core.store import (
+        _HOST_ALWAYS_BYTES,
+        VectorStore,
+    )
+
+    rng = np.random.default_rng(3)
+    d = 64
+    n = _HOST_ALWAYS_BYTES // (d * 4) + 512  # above the always-host bound
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore(d)
+    store.append(mat)
+    snap = store.snapshot()
+    assert snap._host_eligible("exact", 2)
+
+    snap.router.host_ema = 0.001
+    snap.router.dev_ema = 1.0
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    vals, idx = snap.search(q, 4, fetch=False)
+    assert isinstance(vals, np.ndarray) and isinstance(idx, np.ndarray)
+
+    # oracle check on the host answer
+    qn = q[0] / np.linalg.norm(q[0])
+    oracle = (mat @ qn) / np.linalg.norm(mat, axis=1)
+    assert idx[0][0] == int(np.argmax(oracle))
+
+    # device preferred -> deferred dispatch returns device arrays
+    snap.router.host_ema = 1.0
+    snap.router.dev_ema = 0.001
+    vals2, _ = snap.search(q, 4, fetch=False)
+    assert not isinstance(vals2, np.ndarray)
