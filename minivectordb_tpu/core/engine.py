@@ -33,6 +33,12 @@ from minivectordb_tpu.filters.engine import (
 )
 
 _MASK_CACHE_MAX = 64
+# Gathered host submatrices are bigger than masks: bound each copy and keep
+# only a handful of filter keys hot.
+_HOST_SUB_MAX_BYTES = int(
+    os.environ.get("MINIVECTORDB_TPU_HOST_SUB_BYTES", 64 << 20)
+)
+_HOST_SUB_CACHE_MAX = 8
 # Pending-upload size above which the IVF build precompiles its device
 # programs on a background thread under the transfer (the overlap can never
 # lose — the compile had to happen anyway — so this only skips thread
@@ -312,6 +318,12 @@ class SearchEngine:
         # jax array): repeated filtered searches otherwise re-upload a
         # dev_capacity-wide bool mask (~1 MB at 1M rows) per call
         self._dev_mask_cache: dict = {}
+        # host-route analog: key -> (version, rows, sub, subn) — a gathered
+        # submatrix of a SELECTIVE filter's passing rows, so the host BLAS
+        # scan costs selectivity x the full corpus instead of scanning
+        # everything and masking (the reference's candidate-subset path,
+        # vector_database.py:508-514, minus the throwaway index build)
+        self._host_sub_cache: dict = {}
 
     # -- introspection -----------------------------------------------------
 
@@ -976,11 +988,11 @@ class SearchEngine:
         return self._dist.snapshot()
 
     def _snapshot_search(self, snap, q, search_k, mask, fetch=True,
-                         mask_dev=None):
+                         mask_dev=None, host_sub=None):
         if self.mesh is not None:
             return snap.search(q, search_k, mask=mask, fetch=fetch)
         return snap.search(q, search_k, mask, mode=self.search_mode,
-                           fetch=fetch, mask_dev=mask_dev)
+                           fetch=fetch, mask_dev=mask_dev, host_sub=host_sub)
 
     def _device_mask_thunk(self, metadata_filter, exclude_filter, or_filters,
                            mask):
@@ -1023,6 +1035,51 @@ class SearchEngine:
 
         return thunk
 
+    def _host_sub_thunk(self, metadata_filter, exclude_filter, or_filters,
+                        mask, n_candidates):
+        """A lazy, cached gathered submatrix of the filter's passing rows
+        for the host scan route.
+
+        Only built for SELECTIVE filters (under half the corpus and a
+        bounded copy size): scanning the gathered rows costs selectivity x
+        the full-corpus BLAS scan, and caching per (filter key, version)
+        makes repeated filtered searches pay only the submatrix scan. Broad
+        filters keep the masked full scan — the gather would copy most of
+        the corpus for no arithmetic saving.
+
+        Called under the lock; the thunk runs OUTSIDE it against the
+        SEARCHING snapshot's host arrays (copy-on-write keeps those aligned
+        with the mask's version even while writers proceed)."""
+        key = filters_cache_key(metadata_filter, exclude_filter, or_filters)
+        if key is None or mask is None or self.store is None:
+            return None
+        if n_candidates * 2 >= self.count:
+            return None
+        if n_candidates * self.store.dim * 4 > _HOST_SUB_MAX_BYTES:
+            return None
+        version = self._version
+        cache = self._host_sub_cache
+
+        def thunk(host_data, host_norms):
+            ent = cache.get(key)
+            if ent is not None and ent[0] == version:
+                return ent[1]
+            rows = np.flatnonzero(mask).astype(np.int32)
+            sub = np.ascontiguousarray(host_data[rows])
+            subn = np.ascontiguousarray(host_norms[rows])
+            gathered = (rows, sub, subn)
+            # outside the lock: tolerate racing evictions (see
+            # _device_mask_thunk)
+            if len(cache) >= _HOST_SUB_CACHE_MAX:
+                try:
+                    cache.pop(next(iter(cache)), None)
+                except (StopIteration, RuntimeError):
+                    pass
+            cache[key] = (version, gathered)
+            return gathered
+
+        return thunk
+
     # -- search ------------------------------------------------------------
 
     def _candidate_mask(self, metadata_filter, exclude_filter, or_filters):
@@ -1038,6 +1095,10 @@ class SearchEngine:
 
         if self._mask_cache_version != self._version:
             self._mask_cache.clear()
+            # drop stale gathered submatrices too — they are the big entries
+            # (version-checked at hit time, but holding dead copies until
+            # eviction would pin up to _HOST_SUB_CACHE_MAX old corpora slices)
+            self._host_sub_cache.clear()
             self._mask_cache_version = self._version
         key = filters_cache_key(metadata_filter, exclude_filter, or_filters)
         if key is not None and key in self._mask_cache:
@@ -1154,6 +1215,14 @@ class SearchEngine:
                     metadata_filter, exclude_filter, or_filters, mask
                 )
             )
+            host_sub = (
+                None
+                if mask is None or self.mesh is not None
+                else self._host_sub_thunk(
+                    metadata_filter, exclude_filter, or_filters, mask,
+                    n_candidates,
+                )
+            )
             if ivf is not None and mask is not None:
                 # capacity matches the exact path's padded snapshot width so
                 # both share one _dev_mask_cache entry per filter key; the
@@ -1249,7 +1318,8 @@ class SearchEngine:
             return vals, idx, uids, metadata
         with self.telemetry.timed("device_scan"):
             vals, idx = self._snapshot_search(snap, q, search_k, mask,
-                                              fetch=fetch, mask_dev=mask_dev)
+                                              fetch=fetch, mask_dev=mask_dev,
+                                              host_sub=host_sub)
         return vals, idx, uids, metadata
 
     @staticmethod

@@ -507,11 +507,26 @@ class StoreSnapshot:
         return int(self.host_data.shape[1]) * 4 if self.host_data is not None else 0
 
     def _host_search(self, queries: np.ndarray, k: int,
-                     mask: np.ndarray | None) -> tuple[np.ndarray, np.ndarray]:
+                     mask: np.ndarray | None,
+                     host_sub=None) -> tuple[np.ndarray, np.ndarray]:
         """numpy/BLAS mirror of the exact device scan (same normalization,
-        same masked-score sentinel the callers filter on)."""
+        same masked-score sentinel the callers filter on).
+
+        host_sub: optional callable(host_data, host_norms) -> (rows, sub,
+        subn) | None — a gathered submatrix of the filter's passing rows
+        (engine-cached per filter key). Scanning only the passing rows costs
+        selectivity x the full-corpus scan, which is the host analog of the
+        reference's candidate-subset FAISS path (vector_database.py:508-514)
+        without the throwaway index build."""
         n = self.count
         data = self.host_data[:n]
+        row_map = None
+        if mask is not None and host_sub is not None:
+            gathered = host_sub(self.host_data, self.host_norms)
+            if gathered is not None:
+                row_map, data, norms = gathered
+                n = data.shape[0]
+                mask = None  # the gather already applied it
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -520,7 +535,9 @@ class StoreSnapshot:
         # (data @ qn.T).T, norms folded in pre-transpose: the row-major
         # orientation streams the corpus contiguously and is 20-35% faster
         # than qn @ data.T at B<=8 (biggest win at B=1, the interactive case)
-        scores = (data @ qn.T * self.host_norms[:n, None]).T
+        if row_map is None:
+            norms = self.host_norms[:n]
+        scores = (data @ qn.T * norms[:, None]).T
         if mask is not None:
             scores[:, ~mask[:n]] = scan_ops._MASKED_SCORE
         kk = min(k, n)
@@ -532,6 +549,8 @@ class StoreSnapshot:
         else:
             idx = np.argsort(-scores, axis=1)
         vals = np.take_along_axis(scores, idx, axis=1).astype(np.float32)
+        if row_map is not None:
+            idx = row_map[idx]  # submatrix positions -> corpus row ids
         if kk < k:  # parity with the device path's padded invalid slots
             pad_v = np.full((q.shape[0], k - kk), scan_ops._MASKED_SCORE, np.float32)
             pad_i = np.zeros((q.shape[0], k - kk), np.int32)
@@ -547,6 +566,7 @@ class StoreSnapshot:
         mode: str = "exact",
         fetch: bool = True,
         mask_dev=None,
+        host_sub=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """fetch=False defers the device->host result transfer: returns
         device arrays the caller materializes later (np.asarray), so many
@@ -568,14 +588,14 @@ class StoreSnapshot:
             # contract), which is still faster than a losing dispatch.
             if self._host_eligible(mode, batch):
                 if self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES:
-                    return self._host_search(queries, k, mask)
+                    return self._host_search(queries, k, mask, host_sub)
                 which = self.router.choose()
                 if which == "probe":
                     self._launch_device_probe(np.shape(queries), k, mode)
                     which = "host"
                 if which == "host":
                     t0 = time.perf_counter()
-                    out = self._host_search(queries, k, mask)
+                    out = self._host_search(queries, k, mask, host_sub)
                     self.router.record("host", time.perf_counter() - t0)
                     return out
                 # device chosen: fall through to the deferred dispatch,
@@ -586,14 +606,14 @@ class StoreSnapshot:
                                        mask_dev=mask_dev)
         if self._host_eligible(mode, batch):
             if self.count * self.dim_bytes <= _HOST_ALWAYS_BYTES:
-                return self._host_search(queries, k, mask)
+                return self._host_search(queries, k, mask, host_sub)
             which = self.router.choose()
             if which == "probe":
                 self._launch_device_probe(np.shape(queries), k, mode)
                 which = "host"
             t0 = time.perf_counter()
             if which == "host":
-                out = self._host_search(queries, k, mask)
+                out = self._host_search(queries, k, mask, host_sub)
                 self.router.record("host", time.perf_counter() - t0)
                 return out
             out = self._device_search(queries, k, mask, mode,

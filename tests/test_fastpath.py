@@ -117,7 +117,7 @@ def test_search_does_not_hold_lock_during_scan(tmp_path):
     insert_done = threading.Event()
     orig = SearchEngine._snapshot_search
 
-    def blocking_search(self, snap, q, k, mask, fetch=True, mask_dev=None):
+    def blocking_search(self, snap, q, k, mask, fetch=True, mask_dev=None, host_sub=None):
         # runs outside the lock: a locked insert must be able to proceed now
         t = threading.Thread(
             target=db.store_embedding, args=(1000, np.ones(16, np.float32))
@@ -146,7 +146,7 @@ def test_concurrent_delete_during_scan_returns_consistent_rows(tmp_path):
     eng = db._engine
     orig = SearchEngine._snapshot_search
 
-    def deleting_search(self, snap, q, k, mask, fetch=True, mask_dev=None):
+    def deleting_search(self, snap, q, k, mask, fetch=True, mask_dev=None, host_sub=None):
         t = threading.Thread(target=db.delete_embedding, args=(0,))
         t.start()
         t.join(timeout=5)

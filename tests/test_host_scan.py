@@ -139,3 +139,102 @@ def test_large_batch_stays_on_device():
     st.append(mat)
     snap = st.snapshot()
     assert not snap._host_eligible("exact", store_mod._HOST_SCAN_MAX_BATCH + 1)
+
+
+# -- gathered-submatrix host scan for selective filters -----------------------
+
+
+def _sub_thunk(mask):
+    """Engine-shaped thunk: gather passing rows from the snapshot arrays."""
+    def thunk(host_data, host_norms):
+        rows = np.flatnonzero(mask).astype(np.int32)
+        return rows, np.ascontiguousarray(host_data[rows]), host_norms[rows]
+    return thunk
+
+
+def test_host_sub_scan_matches_masked_full_scan():
+    mat = _corpus(n=400)
+    st = VectorStore(mat.shape[1])
+    st.append(mat)
+    snap = st.snapshot()
+    mask = np.zeros(mat.shape[0], dtype=bool)
+    mask[::7] = True
+    q = mat[:3] + 0.01
+    fv, fi = snap._host_search(q, 5, mask)
+    sv, si = snap._host_search(q, 5, mask, host_sub=_sub_thunk(mask))
+    np.testing.assert_array_equal(si, fi)
+    np.testing.assert_allclose(sv, fv, rtol=1e-5, atol=1e-6)
+    assert all(mask[i] for i in si.ravel())
+
+
+def test_host_sub_scan_pads_when_fewer_candidates_than_k():
+    mat = _corpus(n=50)
+    st = VectorStore(mat.shape[1])
+    st.append(mat)
+    snap = st.snapshot()
+    mask = np.zeros(mat.shape[0], dtype=bool)
+    mask[[4, 9]] = True
+    vals, idx = snap._host_search(mat[:1], 6, mask, host_sub=_sub_thunk(mask))
+    assert vals.shape == (1, 6)
+    assert (vals[0, 2:] < -1.0e38).all()
+    assert set(idx[0, :2].tolist()) == {4, 9}
+
+
+def test_host_sub_thunk_returning_none_falls_back_to_masked_scan():
+    mat = _corpus(n=120)
+    st = VectorStore(mat.shape[1])
+    st.append(mat)
+    snap = st.snapshot()
+    mask = np.zeros(mat.shape[0], dtype=bool)
+    mask[::2] = True
+    fv, fi = snap._host_search(mat[:2], 4, mask)
+    sv, si = snap._host_search(mat[:2], 4, mask,
+                               host_sub=lambda d, n: None)
+    np.testing.assert_array_equal(si, fi)
+    np.testing.assert_allclose(sv, fv)
+
+
+def test_engine_host_sub_cache_reused_and_invalidated(tmp_path):
+    """Repeated selective filters hit one gathered submatrix; a write
+    invalidates it (version check) and the next search rebuilds."""
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    rng = np.random.default_rng(11)
+    db = VectorDatabase(storage_file=str(tmp_path / "hs.pkl"))
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    db.store_embeddings_batch(
+        list(range(n)), list(mat), [{"cat": i % 10} for i in range(n)]
+    )
+    eng = db._engine
+    filt = {"cat": {"$lt": 2}}  # 20% selectivity
+    ids, _, metas = db.find_most_similar(mat[0], metadata_filter=filt, k=5)
+    assert ids[0] == 0 and all(m["cat"] < 2 for m in metas)
+    assert len(eng._host_sub_cache) == 1
+    ((ver0, (rows0, sub0, _)),) = list(eng._host_sub_cache.values())
+    assert rows0.shape[0] == sub0.shape[0] == sum(
+        1 for i in range(n) if i % 10 < 2
+    )
+    ids2, _, _ = db.find_most_similar(mat[10], metadata_filter=filt, k=5)
+    (ent,) = eng._host_sub_cache.values()
+    assert ent[1][0] is rows0  # same gathered arrays: cache hit
+
+    db.store_embedding("new", rng.standard_normal(d), {"cat": 1})
+    ids3, _, metas3 = db.find_most_similar(mat[0], metadata_filter=filt, k=5)
+    assert all(m["cat"] < 2 for m in metas3)
+    (ent2,) = eng._host_sub_cache.values()
+    assert ent2[0] != ver0  # rebuilt at the new version
+
+
+def test_engine_skips_host_sub_for_broad_filters(tmp_path):
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    rng = np.random.default_rng(12)
+    db = VectorDatabase(storage_file=str(tmp_path / "hb.pkl"))
+    n, d = 200, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    db.store_embeddings_batch(
+        list(range(n)), list(mat), [{"flag": bool(i % 2)} for i in range(n)]
+    )
+    db.find_most_similar(mat[0], metadata_filter={"flag": True}, k=5)
+    assert not db._engine._host_sub_cache  # 50% passes: gather has no edge
