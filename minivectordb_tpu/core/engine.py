@@ -126,10 +126,21 @@ class _Coalescer:
         batch = None
         try:
             time.sleep(self.window_s)
-            with self.lock:
-                batch = self.pending
-                self.pending = []
-            self._run_batch(batch)
+            # Take the ENGINE lock before swapping pending: while a previous
+            # batch's dispatch still holds it, this leader blocks — and every
+            # arrival during that dispatch lands in pending and is swept into
+            # THIS batch. The window therefore auto-extends to cover the
+            # in-flight dispatch time, which is where group formation
+            # actually comes from when per-op cost >> window_s (measured:
+            # with a 1 ms window over 35 ms host scans, groups were size 1
+            # and coalescing LOST to uncoalesced serving; with the sweep
+            # under the lock, groups match the arrival rate).
+            with self.engine.lock:
+                with self.lock:
+                    batch = self.pending
+                    self.pending = []
+                dispatched = self._dispatch_groups(batch)
+            self._drain_groups(dispatched)
         except BaseException:
             # the leader was interrupted (KeyboardInterrupt/SystemExit, or a
             # bug in the drain) — NEVER strand followers on ev.wait()
@@ -149,45 +160,39 @@ class _Coalescer:
             raise entry[7]
         return entry[6]
 
-    def _run_batch(self, batch: list) -> None:
-        """Dispatch every filter group fetch-deferred under ONE engine-lock
-        acquisition (all groups answer from the same corpus version and
-        their device programs pipeline on the link), then drain and format
-        outside the lock; every entry's event is set exactly once."""
+    def _dispatch_groups(self, batch: list) -> list:
+        """Dispatch every filter group fetch-deferred; the caller holds the
+        engine lock for the whole loop (all groups answer from the same
+        corpus version and their device programs pipeline on the link)."""
         groups: dict = {}
         for e in batch:
             groups.setdefault(e[5], []).append(e)
         dispatched = []  # (chunk, res-or-None, exception-or-None, kk, rd)
-        with self.engine.lock:
-            for gk, entries in groups.items():
-                _, kk, nprobe_g, rd = gk
-                for lo in range(0, len(entries), self.max_batch):
-                    chunk = entries[lo: lo + self.max_batch]
-                    qs = np.stack([e[1] for e in chunk])
-                    # Pad the group to a power-of-two batch (>= 8): group
-                    # sizes vary with arrival timing, and every distinct
-                    # batch shape would otherwise compile its own device
-                    # program — tens of seconds each over a remote link
-                    # (measured: an unpadded 4-thread mixed benchmark sank
-                    # to 0.17 ops/s recompiling shapes 2, 3 and 4). The
-                    # pad rows are zero vectors; their result slots are
-                    # never read.
-                    g = qs.shape[0]
-                    gp = 8
-                    while gp < g:
-                        gp <<= 1
-                    if gp != g:
-                        qs = np.concatenate(
-                            [qs, np.zeros((gp - g, qs.shape[1]), qs.dtype)]
-                        )
-                    try:
-                        res = self.engine._scan(
-                            qs, chunk[0][2], chunk[0][3], chunk[0][4], kk,
-                            fetch=False, nprobe=nprobe_g,
-                        )
-                        dispatched.append((chunk, res, None, kk, rd))
-                    except Exception as exc:  # noqa: BLE001
-                        dispatched.append((chunk, None, exc, kk, rd))
+        for gk, entries in groups.items():
+            _, kk, nprobe_g, rd = gk
+            for lo in range(0, len(entries), self.max_batch):
+                chunk = entries[lo: lo + self.max_batch]
+                qs = np.stack([e[1] for e in chunk])
+                # Group sizes vary with arrival timing; the DEVICE
+                # boundary (StoreSnapshot._device_search) pads batches
+                # to one pow2 shape so distinct group sizes share a
+                # compiled program. Padding used to happen here, which
+                # also inflated HOST-routED groups to 8 rows of BLAS
+                # work for 1-4 real queries — measured 2x slower than
+                # uncoalesced serving on a 1-core host.
+                try:
+                    res = self.engine._scan(
+                        qs, chunk[0][2], chunk[0][3], chunk[0][4], kk,
+                        fetch=False, nprobe=nprobe_g,
+                    )
+                    dispatched.append((chunk, res, None, kk, rd))
+                except Exception as exc:  # noqa: BLE001
+                    dispatched.append((chunk, None, exc, kk, rd))
+        return dispatched
+
+    def _drain_groups(self, dispatched: list) -> None:
+        """Drain + format outside the engine lock; every entry's event is
+        set exactly once."""
         for chunk, res, exc, kk, rd in dispatched:
             try:
                 if exc is not None:

@@ -661,7 +661,22 @@ class StoreSnapshot:
         fetch: bool = True,
         mask_dev=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        q_np = np.ascontiguousarray(queries, dtype=np.float32)
+        b = q_np.shape[0] if q_np.ndim == 2 else None
+        if b is not None:
+            # Pad the batch to a power of two (>= 8) at the device boundary:
+            # every distinct batch shape otherwise compiles its own XLA
+            # program (tens of seconds each over a remote link — the
+            # coalescer's variable group sizes hit 2, 3, 4...), while pad
+            # rows are zero vectors whose result slots are sliced off below.
+            # Host routes never come through here, so they never pay the
+            # padded rows' arithmetic.
+            bp = max(8, 1 << (b - 1).bit_length())
+            if bp != b:
+                q_np = np.concatenate(
+                    [q_np, np.zeros((bp - b, q_np.shape[1]), np.float32)]
+                )
+        q = jnp.asarray(q_np)
         kb = scan_ops.k_bucket(k, self.dev_capacity)
         if mask is None:
             mask_dev = None
@@ -704,6 +719,8 @@ class StoreSnapshot:
             vals, idx = scan_ops.scan_topk(
                 self.buf, self.inv_norms, q, self.count, kb, mask_dev, mode
             )
+        if b is not None:
+            vals, idx = vals[:b], idx[:b]
         if not fetch:
             # device-resident slices; the caller drains with np.asarray
             return vals[:, :k], idx[:, :k]

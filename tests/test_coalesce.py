@@ -166,7 +166,7 @@ def test_interrupted_leader_never_strands_followers(tmp_path, corpus,
     def boom(batch):
         raise KeyboardInterrupt  # a BaseException the group loop won't catch
 
-    monkeypatch.setattr(type(coal), "_run_batch",
+    monkeypatch.setattr(type(coal), "_dispatch_groups",
                         staticmethod(lambda batch: boom(batch)))
     n = 4
     outcomes = [None] * n
@@ -224,10 +224,11 @@ def test_runtime_window_toggle_under_traffic(tmp_path, corpus):
     assert not errors, errors[:3]
 
 
-def test_group_dispatch_padded_to_pow2(tmp_path, corpus):
-    """Group sizes vary with arrival timing; every distinct batch shape
-    would compile its own device program (minutes over a remote link), so
-    the coalescer must pad each group's stack to one pow2 shape (>= 8)."""
+def test_group_dispatch_true_sizes_and_device_pow2(tmp_path, corpus):
+    """The coalescer passes each group's TRUE size to the scan (a host-routed
+    group must not pay padded BLAS rows — measured 2x slower on a 1-core
+    host); the DEVICE boundary pads to one pow2 shape (>= 8) so variable
+    group sizes share a single compiled program."""
     db = VectorDatabase(storage_file=str(tmp_path / "p.pkl"),
                         coalesce_window_ms=30.0)
     _fill(db, corpus)
@@ -255,11 +256,42 @@ def test_group_dispatch_padded_to_pow2(tmp_path, corpus):
             for t in ts:
                 t.join()
             assert seen, "no dispatch recorded"
-            assert all(s == 8 for s in seen), seen  # one shared shape
+            assert all(s <= n_threads for s in seen), seen  # true sizes
             for i in results:
                 assert results[i][0][0] == i  # self-match first
     finally:
         eng._scan = orig
+
+
+def test_device_boundary_pads_batch_to_pow2():
+    """StoreSnapshot._device_search pads any 2-D batch to pow2 >= 8 (one
+    compiled program across the coalescer's variable group sizes) and
+    slices the pad rows off the results."""
+    from minivectordb_tpu.core.store import VectorStore
+    from minivectordb_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((500, 32)).astype(np.float32)
+    st = VectorStore(32)
+    st.append(mat)
+    snap = st.snapshot()
+    shapes = []
+    orig = scan_ops.scan_topk
+
+    def spy(buf, inv, q, *a, **kw):
+        shapes.append(int(q.shape[0]))
+        return orig(buf, inv, q, *a, **kw)
+
+    scan_ops.scan_topk = spy
+    try:
+        for g in (1, 3, 4, 9):
+            vals, idx = snap._device_search(mat[:g], 5)
+            assert vals.shape == (g, 5) and idx.shape == (g, 5)
+            for r in range(g):
+                assert idx[r, 0] == r  # self-match survives the pad slice
+        assert shapes == [8, 8, 8, 16], shapes
+    finally:
+        scan_ops.scan_topk = orig
 
 
 def test_deferred_fetch_host_routes_when_host_wins():
