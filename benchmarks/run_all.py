@@ -625,12 +625,46 @@ def main():
         # after a failed transfer, which would poison later configs
         import subprocess
 
+        # Environmental failures (the dev TPU tunnel dropping mid-run, the
+        # backend refusing to initialize) must never leave an `error` key in
+        # the committed report: retry the whole subprocess — a fresh process
+        # is the only reliable backend re-init — with backoff.
+        _RETRYABLE = (
+            "Unable to initialize backend",
+            "backend setup/compile error",
+            "UNAVAILABLE",
+            "DEADLINE_EXCEEDED",
+            "Socket closed",
+            "Connection reset",
+            "failed to connect",
+            "transport is closing",
+        )
+
+        def _recorded_error(name):
+            try:
+                with open(out_path) as f:
+                    return json.load(f).get(name, {}).get("error")
+            except Exception:
+                return None
+
         for name, _, _ in steps:
             if name in skip:
                 continue
             cmd = [sys.executable, os.path.abspath(__file__), "--only", name,
                    "--inline"] + (["--quick"] if args.quick else [])
-            subprocess.run(cmd)
+            for attempt in range(4):
+                proc = subprocess.run(cmd)
+                err = _recorded_error(name)
+                crashed = proc.returncode != 0
+                if not crashed and (
+                    err is None or not any(p in err for p in _RETRYABLE)
+                ):
+                    break
+                wait = 20 * (attempt + 1)
+                print(f"[retry {attempt + 1}/3 in {wait}s] {name}: "
+                      f"{'crash rc=%d' % proc.returncode if crashed else err}",
+                      flush=True)
+                time.sleep(wait)
         out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "full_report.json")
         print(f"\nreport -> {out_path}")

@@ -39,6 +39,14 @@ _HOST_SUB_MAX_BYTES = int(
     os.environ.get("MINIVECTORDB_TPU_HOST_SUB_BYTES", 64 << 20)
 )
 _HOST_SUB_CACHE_MAX = 8
+# Aggregate bound across entries: the per-entry cap alone would let 8 keys
+# (plus stale same-version inserts racing a clear) pin ~0.5 GB of gathered
+# corpus copies.
+_HOST_SUB_TOTAL_BYTES = int(
+    os.environ.get(
+        "MINIVECTORDB_TPU_HOST_SUB_TOTAL_BYTES", 4 * _HOST_SUB_MAX_BYTES
+    )
+)
 # Pending-upload size above which the IVF build precompiles its device
 # programs on a background thread under the transfer (the overlap can never
 # lose — the compile had to happen anyway — so this only skips thread
@@ -161,9 +169,15 @@ class _Coalescer:
         return entry[6]
 
     def _dispatch_groups(self, batch: list) -> list:
-        """Dispatch every filter group fetch-deferred; the caller holds the
-        engine lock for the whole loop (all groups answer from the same
-        corpus version and their device programs pipeline on the link)."""
+        """Dispatch every filter group fetch-deferred. The caller enters
+        with the engine lock held; between chunks this loop RELEASES and
+        reacquires it so writers and uncoalesced searches get a window
+        (host-routed groups run full synchronous BLAS scans here, and with
+        unfair Python locks back-to-back leaders would otherwise hold the
+        lock nearly continuously under sustained traffic). Each chunk stays
+        internally snapshot-consistent — it dispatches under one continuous
+        hold; different chunks are different callers' groups and carry no
+        cross-group consistency contract."""
         groups: dict = {}
         for e in batch:
             groups.setdefault(e[5], []).append(e)
@@ -171,6 +185,11 @@ class _Coalescer:
         for gk, entries in groups.items():
             _, kk, nprobe_g, rd = gk
             for lo in range(0, len(entries), self.max_batch):
+                if dispatched:
+                    # yield between chunks (balanced: the caller's `with`
+                    # re-releases its own acquisition at exit)
+                    self.engine.lock.release()
+                    self.engine.lock.acquire()
                 chunk = entries[lo: lo + self.max_batch]
                 qs = np.stack([e[1] for e in chunk])
                 # Group sizes vary with arrival timing; the DEVICE
@@ -1068,19 +1087,42 @@ class SearchEngine:
         def thunk(host_data, host_norms):
             ent = cache.get(key)
             if ent is not None and ent[0] == version:
+                # LRU: refresh recency on hit (dict preserves insertion
+                # order; without this the hottest first-inserted key is
+                # evicted first under alternating filters)
+                try:
+                    if cache.pop(key, None) is not None:
+                        cache[key] = ent
+                except RuntimeError:
+                    pass
                 return ent[1]
             rows = np.flatnonzero(mask).astype(np.int32)
             sub = np.ascontiguousarray(host_data[rows])
             subn = np.ascontiguousarray(host_norms[rows])
             gathered = (rows, sub, subn)
+            nbytes = rows.nbytes + sub.nbytes + subn.nbytes
             # outside the lock: tolerate racing evictions (see
-            # _device_mask_thunk)
-            if len(cache) >= _HOST_SUB_CACHE_MAX:
-                try:
-                    cache.pop(next(iter(cache)), None)
-                except (StopIteration, RuntimeError):
-                    pass
-            cache[key] = (version, gathered)
+            # _device_mask_thunk). Bound BOTH entry count and aggregate
+            # bytes; stale-version entries (left by inserts racing a
+            # clear) are evicted before live ones.
+            try:
+                total = sum(e[2] for e in list(cache.values()))
+                while cache and (
+                    len(cache) >= _HOST_SUB_CACHE_MAX
+                    or total + nbytes > _HOST_SUB_TOTAL_BYTES
+                ):
+                    stale = next(
+                        (k for k, e in list(cache.items())
+                         if e[0] != version),
+                        None,
+                    )
+                    victim = stale if stale is not None else next(iter(cache))
+                    evicted = cache.pop(victim, None)
+                    if evicted is not None:
+                        total -= evicted[2]
+            except (StopIteration, RuntimeError):
+                pass
+            cache[key] = (version, gathered, nbytes)
             return gathered
 
         return thunk

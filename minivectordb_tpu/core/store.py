@@ -53,6 +53,11 @@ _HOST_SCAN_MAX_BATCH = 8
 _HOST_ALWAYS_BYTES = 8 << 20
 _ROUTER_REFRESH_EVERY = 256
 _ROUTER_FIRST_PROBE = 4  # host calls before the (async) device probe
+# Pow2 batch padding applies only up to this size (covers the coalescer's
+# max_batch of 256, whose group sizes vary call-to-call and would otherwise
+# each compile their own program); larger explicit batches run at their true
+# shape — see _device_search.
+_POW2_PAD_MAX_BATCH = 256
 
 
 class _ScanRouter:
@@ -663,12 +668,15 @@ class StoreSnapshot:
     ) -> tuple[np.ndarray, np.ndarray]:
         q_np = np.ascontiguousarray(queries, dtype=np.float32)
         b = q_np.shape[0] if q_np.ndim == 2 else None
-        if b is not None:
-            # Pad the batch to a power of two (>= 8) at the device boundary:
-            # every distinct batch shape otherwise compiles its own XLA
-            # program (tens of seconds each over a remote link — the
+        if b is not None and b <= _POW2_PAD_MAX_BATCH:
+            # Pad SMALL batches to a power of two (>= 8) at the device
+            # boundary: every distinct batch shape otherwise compiles its
+            # own XLA program (tens of seconds each over a remote link — the
             # coalescer's variable group sizes hit 2, 3, 4...), while pad
             # rows are zero vectors whose result slots are sliced off below.
+            # Large explicit batches run at their true shape: they compile
+            # once and amortize, and padding e.g. 513 queries to 1024 would
+            # double the device arithmetic and the query-upload bytes.
             # Host routes never come through here, so they never pay the
             # padded rows' arithmetic.
             bp = max(8, 1 << (b - 1).bit_length())

@@ -211,7 +211,7 @@ def test_engine_host_sub_cache_reused_and_invalidated(tmp_path):
     ids, _, metas = db.find_most_similar(mat[0], metadata_filter=filt, k=5)
     assert ids[0] == 0 and all(m["cat"] < 2 for m in metas)
     assert len(eng._host_sub_cache) == 1
-    ((ver0, (rows0, sub0, _)),) = list(eng._host_sub_cache.values())
+    ((ver0, (rows0, sub0, _), _),) = list(eng._host_sub_cache.values())
     assert rows0.shape[0] == sub0.shape[0] == sum(
         1 for i in range(n) if i % 10 < 2
     )
@@ -238,3 +238,46 @@ def test_engine_skips_host_sub_for_broad_filters(tmp_path):
     )
     db.find_most_similar(mat[0], metadata_filter={"flag": True}, k=5)
     assert not db._engine._host_sub_cache  # 50% passes: gather has no edge
+
+
+def test_host_sub_cache_lru_and_aggregate_byte_bound(tmp_path, monkeypatch):
+    """ADVICE r3: eviction must be LRU (a hit refreshes recency, so the
+    hottest key survives alternating filters) and the cache must bound
+    aggregate bytes, not just entry count."""
+    from minivectordb_tpu.core import engine as engine_mod
+    from minivectordb_tpu.filters.engine import filters_cache_key
+    from minivectordb_tpu.vector_database import VectorDatabase
+
+    rng = np.random.default_rng(13)
+    db = VectorDatabase(storage_file=str(tmp_path / "lru.pkl"))
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    db.store_embeddings_batch(
+        list(range(n)), list(mat), [{"cat": i % 10} for i in range(n)]
+    )
+    eng = db._engine
+    monkeypatch.setattr(engine_mod, "_HOST_SUB_CACHE_MAX", 2)
+    filt = lambda c: {"cat": c}  # noqa: E731 — 10% selectivity each
+
+    db.find_most_similar(mat[0], metadata_filter=filt(0), k=3)
+    db.find_most_similar(mat[0], metadata_filter=filt(1), k=3)
+    assert len(eng._host_sub_cache) == 2
+    # hit cat=0: refreshes its recency, so inserting cat=2 evicts cat=1
+    db.find_most_similar(mat[1], metadata_filter=filt(0), k=3)
+    db.find_most_similar(mat[0], metadata_filter=filt(2), k=3)
+    keys = set(eng._host_sub_cache)
+    assert filters_cache_key(filt(0), None, None) in keys
+    assert filters_cache_key(filt(1), None, None) not in keys
+    assert filters_cache_key(filt(2), None, None) in keys
+
+    # aggregate byte bound: room for only one gathered copy -> the cache
+    # never holds two entries even though the count limit allows it
+    one_entry = next(iter(eng._host_sub_cache.values()))[2]
+    monkeypatch.setattr(
+        engine_mod, "_HOST_SUB_TOTAL_BYTES", int(one_entry * 1.5)
+    )
+    eng._host_sub_cache.clear()
+    db.find_most_similar(mat[0], metadata_filter=filt(3), k=3)
+    db.find_most_similar(mat[0], metadata_filter=filt(4), k=3)
+    assert len(eng._host_sub_cache) == 1
+    assert filters_cache_key(filt(4), None, None) in eng._host_sub_cache

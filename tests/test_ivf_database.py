@@ -436,6 +436,33 @@ def test_ivf_snapshot_search_all_rows_tombstoned_returns_empty():
     assert vals.shape == (3, 0) and ids.shape == (3, 0)
 
 
+def test_engine_search_every_indexed_row_tombstoned_under_floor():
+    """Round-3 VERDICT weak-6: tombstone EVERY indexed row through the
+    public API while stale stays under rebuild_floor (so _ensure_ivf keeps
+    the stale zero-count index), then search. The empty database must return
+    empty results, and rows added afterwards (pure overflow — the snapshot's
+    kk would be 0) must be served exactly by the overflow scan."""
+    db = _ivf_db(
+        _tmpfile(),
+        ivf_opts={**_IVF_OPTS, "rebuild_frac": 1e9, "rebuild_floor": 10_000},
+    )
+    mat = _build_corpus(64)
+    db.store_embeddings_batch(list(range(64)), mat)
+    db.find_most_similar(mat[0], k=1)  # trigger the lazy build
+    assert db._engine._ivf is not None
+    for uid in range(64):
+        db.delete_embedding(uid)
+    ids, dists, metas = db.find_most_similar(mat[0], k=5)
+    assert ids == [] and list(dists) == [] and metas == []
+    # fresh rows land in the overflow store; the indexed row set is empty
+    fresh = _build_corpus(3, seed=7) + 10.0
+    db.store_embeddings_batch([100, 101, 102], fresh)
+    ids, dists, _ = db.find_most_similar(fresh[1], k=3)
+    assert set(ids) == {100, 101, 102} and ids[0] == 101
+    if os.path.exists(db.storage_file):
+        os.remove(db.storage_file)
+
+
 def test_engine_delete_many_empty_list_is_noop():
     """ADVICE r2 / VERDICT weak-9: internal delete_many([]) must not crash."""
     db = _ivf_db(_tmpfile())
