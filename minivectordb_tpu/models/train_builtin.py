@@ -232,6 +232,23 @@ def run_probes(params, tok, log=print, cfg=None) -> dict:
         np.mean(np.argmax(qe @ ce.T, axis=1) == 0)
     )
 
+    # Wide-scenario sweep (round-4): dog queries in en + the five trained
+    # languages must rank "i like animals" first against the FULL
+    # README-style 7-sentence corpus. The extra distractors are
+    # template-heavy ("my favorite food is pasta" carries the trained
+    # template word 'favorite'); round-3's trained_large artifact ranked
+    # it above "i like animals" for every dog query — template leakage
+    # the 4-sentence probes above could not see.
+    wide_corpus = [
+        "i like animals", "i like cars", "i like programming",
+        "technology is the future", "the stock market fell sharply",
+        "my favorite food is pasta", "she plays the violin beautifully",
+    ]
+    wide_queries = ["i like dogs"] + xl_queries
+    we = _embed_many(params, tok, wide_corpus, cfg=cfg)
+    wq = _embed_many(params, tok, wide_queries, cfg=cfg)
+    res["wide_dogs_acc"] = float(np.mean(np.argmax(wq @ we.T, axis=1) == 0))
+
     for k, v in res.items():
         log(f"  probe {k}: {v}")
     return res
@@ -248,6 +265,7 @@ THRESHOLDS = {
     "heldout_synonym_acc": 0.85,
     "hypernym_acc": 0.80,
     "xlingual_dog_acc": 0.80,
+    "wide_dogs_acc": 0.80,
 }
 
 
@@ -278,7 +296,30 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--force", action="store_true",
                     help="write the artifact even if probes fail")
+    ap.add_argument("--probe-only", action="store_true",
+                    help="skip training: load the slot's existing bundled "
+                    "artifact, re-run the (possibly enlarged) probe suite, "
+                    "and rewrite its probes.json — exits 1 if the gate "
+                    "fails, flagging an artifact that needs retraining")
     args = ap.parse_args(argv)
+
+    if args.probe_only:
+        from minivectordb_tpu.embedding_model import _load_bundled
+
+        enc = _load_bundled(args.slot)
+        if enc is None:
+            print(f"no bundled artifact for slot '{args.slot}'")
+            return 1
+        res = run_probes(enc.params, enc.tokenizer, cfg=enc.cfg)
+        ok = probes_pass(res)
+        print(f"probe gate: {'PASS' if ok else 'FAIL'}")
+        sub = "builtin" if args.slot == "builtin" else f"trained_{args.slot}"
+        out = args.out or os.path.join(
+            os.path.dirname(__file__), "..", "resources", sub
+        )
+        with open(os.path.join(out, "probes.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        return 0 if ok else 1
 
     from minivectordb_tpu.models import configs as model_configs
     from minivectordb_tpu.models.train import train_loop

