@@ -90,13 +90,22 @@ class _Coalescer:
     time.sleep's precision floor (~0.1-1 ms on Linux) makes windows under
     ~0.2 ms behave like 0."""
 
-    __slots__ = ("engine", "window_s", "max_batch", "lock", "pending")
+    __slots__ = (
+        "engine", "window_s", "max_batch", "lock", "pending", "dispatch_lock"
+    )
 
     def __init__(self, engine, window_s: float, max_batch: int = 256):
         self.engine = engine
         self.window_s = window_s
         self.max_batch = max_batch
         self.lock = threading.Lock()
+        # Serializes LEADERS (group formation auto-extends over the previous
+        # batch's in-flight dispatch) without contending with writers: the
+        # engine lock is only taken inside _scan for filter+snapshot, same
+        # as uncoalesced searches. Holding the ENGINE lock here instead
+        # (round 3) made every store wait out a leader's full dispatch —
+        # measured 0.74x uncoalesced on the device route of the config4 mix.
+        self.dispatch_lock = threading.Lock()
         self.pending: list = []
 
     def submit(self, q, metadata_filter, exclude_filter, or_filters, k,
@@ -134,16 +143,16 @@ class _Coalescer:
         batch = None
         try:
             time.sleep(self.window_s)
-            # Take the ENGINE lock before swapping pending: while a previous
-            # batch's dispatch still holds it, this leader blocks — and every
-            # arrival during that dispatch lands in pending and is swept into
-            # THIS batch. The window therefore auto-extends to cover the
-            # in-flight dispatch time, which is where group formation
-            # actually comes from when per-op cost >> window_s (measured:
-            # with a 1 ms window over 35 ms host scans, groups were size 1
-            # and coalescing LOST to uncoalesced serving; with the sweep
-            # under the lock, groups match the arrival rate).
-            with self.engine.lock:
+            # Take the DISPATCH lock before swapping pending: while a
+            # previous batch's dispatch still holds it, this leader blocks —
+            # and every arrival during that dispatch lands in pending and is
+            # swept into THIS batch. The window therefore auto-extends to
+            # cover the in-flight dispatch time, which is where group
+            # formation actually comes from when per-op cost >> window_s
+            # (measured: with a 1 ms window over 35 ms host scans, groups
+            # were size 1 and coalescing LOST to uncoalesced serving; with
+            # the sweep under the lock, groups match the arrival rate).
+            with self.dispatch_lock:
                 with self.lock:
                     batch = self.pending
                     self.pending = []
@@ -170,14 +179,12 @@ class _Coalescer:
 
     def _dispatch_groups(self, batch: list) -> list:
         """Dispatch every filter group fetch-deferred. The caller enters
-        with the engine lock held; between chunks this loop RELEASES and
-        reacquires it so writers and uncoalesced searches get a window
-        (host-routed groups run full synchronous BLAS scans here, and with
-        unfair Python locks back-to-back leaders would otherwise hold the
-        lock nearly continuously under sustained traffic). Each chunk stays
-        internally snapshot-consistent — it dispatches under one continuous
-        hold; different chunks are different callers' groups and carry no
-        cross-group consistency contract."""
+        with the coalescer's dispatch lock held (leader serialization only
+        — writers and uncoalesced searches never wait on it). Each chunk is
+        internally snapshot-consistent because it is one _scan call (one
+        filter+snapshot acquisition of the engine lock); different chunks
+        are different callers' groups and carry no cross-group consistency
+        contract."""
         groups: dict = {}
         for e in batch:
             groups.setdefault(e[5], []).append(e)
@@ -185,11 +192,6 @@ class _Coalescer:
         for gk, entries in groups.items():
             _, kk, nprobe_g, rd = gk
             for lo in range(0, len(entries), self.max_batch):
-                if dispatched:
-                    # yield between chunks (balanced: the caller's `with`
-                    # re-releases its own acquisition at exit)
-                    self.engine.lock.release()
-                    self.engine.lock.acquire()
                 chunk = entries[lo: lo + self.max_batch]
                 qs = np.stack([e[1] for e in chunk])
                 # Group sizes vary with arrival timing; the DEVICE

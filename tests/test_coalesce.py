@@ -328,3 +328,44 @@ def test_deferred_fetch_host_routes_when_host_wins():
     snap.router.dev_ema = 0.001
     vals2, _ = snap.search(q, 4, fetch=False)
     assert not isinstance(vals2, np.ndarray)
+
+
+def test_writers_not_blocked_by_leader_dispatch(tmp_path, corpus):
+    """A coalescer leader's dispatch must not hold the ENGINE lock: writers
+    (store_embedding) proceed while a slow group dispatch is in flight.
+    Round-3 held the engine lock across _dispatch_groups, so every store
+    waited out the leader — measured 0.74x uncoalesced throughput on the
+    device-routed config4 mix."""
+    import time
+
+    db = VectorDatabase(storage_file=str(tmp_path / "w.pkl"),
+                        coalesce_window_ms=5.0)
+    _fill(db, corpus)
+    eng = db._engine
+
+    real_scan = eng._scan
+    in_dispatch = threading.Event()
+
+    def slow_scan(*a, **kw):
+        in_dispatch.set()
+        time.sleep(0.5)
+        return real_scan(*a, **kw)
+
+    eng._scan = slow_scan
+    res = {}
+
+    def searcher():
+        res["hits"] = db.find_most_similar(corpus[0], k=3)
+
+    t = threading.Thread(target=searcher)
+    t.start()
+    assert in_dispatch.wait(5.0)
+    t0 = time.perf_counter()
+    db.store_embedding("w1", np.ones(16, dtype=np.float32), {"g": 9})
+    store_s = time.perf_counter() - t0
+    t.join()
+    eng._scan = real_scan
+    assert store_s < 0.25, (
+        f"store blocked {store_s:.3f}s behind a coalesced dispatch"
+    )
+    assert res["hits"][0][0] == 0
