@@ -1468,10 +1468,27 @@ class SearchEngine:
     ):
         """Batched search: one device program over all queries. Returns a
         list of (ids, scores, metadatas) triples; filters apply to every
-        query. No reference equivalent (the reference is one query/call)."""
-        q = np.asarray(embeddings, dtype=np.float32)
-        if q.ndim == 1:
-            q = q[None, :]
+        query. No reference equivalent (the reference is one query/call).
+
+        A device-resident batch (jax.Array — e.g. the encoder's output, or
+        a serving batch uploaded once with jax.device_put) is passed through
+        zero-copy on single-device engines: the queries are never pulled to
+        host or re-uploaded, and the scan is forced onto the device where
+        they live (mesh engines convert — their shard_map path ships numpy)."""
+        import jax as _jax
+
+        if (
+            isinstance(embeddings, _jax.Array)
+            and not isinstance(embeddings, np.ndarray)
+            and self.mesh is None
+        ):
+            q = embeddings
+            if q.ndim == 1:
+                q = q[None, :]
+        else:
+            q = np.asarray(embeddings, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
         if self.store is None or self.count == 0:
             return [([], [], [])] * q.shape[0]
         res = self._scan(q, metadata_filter, exclude_filter, or_filters, k,
@@ -1574,10 +1591,23 @@ class SearchEngine:
         device (and on a remote-TPU link, overlap its per-call transfer
         latency), which a synchronous call serializes. Snapshot-consistent:
         results reflect the corpus at dispatch time regardless of
-        mutations before .result()."""
-        q = np.asarray(embeddings, dtype=np.float32)
-        if q.ndim == 1:
-            q = q[None, :]
+        mutations before .result(). Device-resident batches (jax.Array)
+        pass through zero-copy on single-device engines, same contract as
+        search_batch."""
+        import jax as _jax
+
+        if (
+            isinstance(embeddings, _jax.Array)
+            and not isinstance(embeddings, np.ndarray)
+            and self.mesh is None
+        ):
+            q = embeddings
+            if q.ndim == 1:
+                q = q[None, :]
+        else:
+            q = np.asarray(embeddings, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None, :]
         if self.store is None or self.count == 0:
             return PendingSearch(lambda: [([], [], [])] * q.shape[0])
         res = self._scan(q, metadata_filter, exclude_filter, or_filters, k,

@@ -583,7 +583,15 @@ class StoreSnapshot:
         lazy so host-routed calls never upload it). The engine caches these
         per filter key so repeated filtered searches don't re-upload a
         dev_capacity-wide bool mask (~1 MB per call at 1M rows) through the
-        link."""
+        link.
+
+        Device-resident queries (a jax.Array, e.g. the encoder's output or a
+        pre-uploaded serving batch) skip the host round-trip entirely: no
+        np conversion, no re-upload, no host-BLAS routing — the scan runs
+        where the queries already live."""
+        if isinstance(queries, jax.Array) and not isinstance(queries, np.ndarray):
+            return self._device_search(queries, k, mask, mode, fetch=fetch,
+                                       mask_dev=mask_dev)
         batch = 1 if np.ndim(queries) == 1 else int(np.shape(queries)[0])
         if not fetch:
             # async callers pipeline on the device — but when the adaptive
@@ -666,8 +674,19 @@ class StoreSnapshot:
         fetch: bool = True,
         mask_dev=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        q_np = np.ascontiguousarray(queries, dtype=np.float32)
-        b = q_np.shape[0] if q_np.ndim == 2 else None
+        if isinstance(queries, jax.Array) and not isinstance(queries, np.ndarray):
+            # zero-copy: the batch is already device-resident (encoder
+            # output, or a serving batch uploaded once) — pad on device if
+            # small, never bounce through the host
+            q = (queries if queries.dtype == jnp.float32
+                 else queries.astype(jnp.float32))
+            if q.ndim == 1:
+                q = q[None, :]
+            b = int(q.shape[0])
+        else:
+            q_np = np.ascontiguousarray(queries, dtype=np.float32)
+            b = q_np.shape[0] if q_np.ndim == 2 else None
+            q = None
         if b is not None and b <= _POW2_PAD_MAX_BATCH:
             # Pad SMALL batches to a power of two (>= 8) at the device
             # boundary: every distinct batch shape otherwise compiles its
@@ -681,10 +700,16 @@ class StoreSnapshot:
             # padded rows' arithmetic.
             bp = max(8, 1 << (b - 1).bit_length())
             if bp != b:
-                q_np = np.concatenate(
-                    [q_np, np.zeros((bp - b, q_np.shape[1]), np.float32)]
-                )
-        q = jnp.asarray(q_np)
+                if q is not None:
+                    q = jnp.concatenate(
+                        [q, jnp.zeros((bp - b, q.shape[1]), jnp.float32)]
+                    )
+                else:
+                    q_np = np.concatenate(
+                        [q_np, np.zeros((bp - b, q_np.shape[1]), np.float32)]
+                    )
+        if q is None:
+            q = jnp.asarray(q_np)
         kb = scan_ops.k_bucket(k, self.dev_capacity)
         if mask is None:
             mask_dev = None

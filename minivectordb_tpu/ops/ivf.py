@@ -696,12 +696,17 @@ class IVFSnapshot:
         nlist_eff = int(self.centroids.shape[0])
         distinct = max(1, nlist_eff - self.n_dup)
         nprobe = min(-(-nprobe * nlist_eff // distinct), nlist_eff)
-        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        if isinstance(queries, jax.Array) and not isinstance(queries, np.ndarray):
+            # zero-copy device-resident batch: no host bounce, no re-upload
+            q = (queries if queries.dtype == jnp.float32
+                 else queries.astype(jnp.float32))
+        else:
+            q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)
         if kk <= 0:
             # every indexed row tombstoned while stale stays under the
             # rebuild floor: a 0-wide top-k is undefined for the kernels
-            b = int(np.asarray(queries).reshape(-1, queries.shape[-1]).shape[0])
+            b = int(q.reshape(-1, q.shape[-1]).shape[0])
             return (np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32))
         lists, list_ids, list_valid = self.tables
         kk_eff = (
