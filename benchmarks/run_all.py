@@ -28,6 +28,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _qps_median(call, rows, iters):
+    """QPS from the MEDIAN per-call latency, not total/iters. A single
+    dev-tunnel stall (a multi-second TCP hiccup mid-loop) folded into a
+    total/iters mean corrupts the committed number — a round-4 report run
+    shipped a b1024 nprobe sweep where one stalled call inverted the
+    nprobe/QPS ordering (nprobe 8 'slower' than nprobe 32). The median is
+    robust to one outlier while still timing real synchronous calls.
+    Returns (qps, last_result)."""
+    times, out = [], None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = call()
+        times.append(time.perf_counter() - t0)
+    return rows / float(np.median(times)), out
+
+
 SENTENCES = [
     "i like animals",
     "i like cars",
@@ -417,11 +433,8 @@ def config5_ivf_1m(quick=False):
     for nprobe in (8, 32, 64):
         db.nprobe = nprobe
         db.find_most_similar_batch(queries[:1], k=10)  # warm/compile
-        t0 = time.perf_counter()
-        iters = 5
-        for _ in range(iters):
-            res = db.find_most_similar_batch(queries, k=10)
-        qps = iters * nq / (time.perf_counter() - t0)
+        qps, res = _qps_median(
+            lambda: db.find_most_similar_batch(queries, k=10), nq, 5)
         hits = sum(
             len(set(res[b][0]) & set(eidx[b].tolist())) for b in range(nq)
         )
@@ -441,11 +454,8 @@ def config5_ivf_1m(quick=False):
     for nprobe in (4, 8, 32):
         db.nprobe = nprobe
         db.find_most_similar_batch(big, k=10)  # warm/compile
-        iters = 8  # amortize the dev-tunnel per-call sync (~8 ms/call)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            res = db.find_most_similar_batch(big, k=10)
-        qps = iters * big.shape[0] / (time.perf_counter() - t0)
+        qps, res = _qps_median(
+            lambda: db.find_most_similar_batch(big, k=10), big.shape[0], 8)
         hits = sum(
             len(set(res[b][0]) & set(eidx[b].tolist())) for b in range(nq)
         )
@@ -460,11 +470,10 @@ def config5_ivf_1m(quick=False):
     for label, frac in (("ivf", 0.5), ("exact", 2.0)):
         db._engine.ivf_opts["filtered_min_frac"] = frac
         db.find_most_similar_batch(big, k=10, metadata_filter=filt)  # warm
-        iters = 8
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            res = db.find_most_similar_batch(big, k=10, metadata_filter=filt)
-        qps = iters * big.shape[0] / (time.perf_counter() - t0)
+        qps, res = _qps_median(
+            lambda: db.find_most_similar_batch(
+                big, k=10, metadata_filter=filt),
+            big.shape[0], 8)
         hits = sum(
             len(set(res[b][0]) & set(fidx[b].tolist())) for b in range(nq)
         )
@@ -479,13 +488,9 @@ def config5_ivf_1m(quick=False):
     db._engine.index_kind = "flat"
     for tag, qarr in (("b64", queries), ("b1024", big)):
         db.find_most_similar_batch(qarr, k=10)  # warm/compile
-        iters = 8 if tag == "b1024" else 1
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            db.find_most_similar_batch(qarr, k=10)
-        results[f"exact_{tag}_qps"] = (
-            iters * qarr.shape[0] / (time.perf_counter() - t0)
-        )
+        results[f"exact_{tag}_qps"], _ = _qps_median(
+            lambda: db.find_most_similar_batch(qarr, k=10),
+            qarr.shape[0], 8 if tag == "b1024" else 3)
     # Decompose the per-call transfer artifact of THIS dev environment's
     # TPU tunnel: uploading the (1024, d) query batch is a per-call cost a
     # local PCIe/ICI link would not see (measured below for the record);
@@ -518,11 +523,9 @@ def config5_ivf_1m(quick=False):
     for nprobe in (8, 32):
         db.nprobe = nprobe
         db.find_most_similar_batch(big_dev, k=10)  # warm
-        iters = 8
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            res = db.find_most_similar_batch(big_dev, k=10)
-        qps = iters * big.shape[0] / (time.perf_counter() - t0)
+        qps, res = _qps_median(
+            lambda: db.find_most_similar_batch(big_dev, k=10),
+            big.shape[0], 8)
         hits = sum(
             len(set(res[b][0]) & set(eidx[b].tolist())) for b in range(nq)
         )
@@ -530,13 +533,31 @@ def config5_ivf_1m(quick=False):
         dres[f"ivf_b1024_np{nprobe}_recall_at_10"] = hits / (10 * nq)
     db._engine.index_kind = "flat"
     db.find_most_similar_batch(big_dev, k=10)  # warm
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        db.find_most_similar_batch(big_dev, k=10)
-    dres["exact_b1024_qps"] = (
-        iters * big.shape[0] / (time.perf_counter() - t0)
-    )
+    dres["exact_b1024_qps"], _ = _qps_median(
+        lambda: db.find_most_similar_batch(big_dev, k=10),
+        big.shape[0], 8)
+
+    # Pipelined async serving on the same device-resident batches:
+    # overlapping in-flight handles hide the per-call dispatch+drain round
+    # trip that bounds the synchronous numbers above — this is what a
+    # serving deployment that queues requests actually sees.
+    def _pipelined_qps(iters=8, depth=8):
+        hs = [db.find_most_similar_batch_async(big_dev, k=10)
+              for _ in range(2)]
+        for h in hs:
+            h.result()  # warm
+        t0 = time.perf_counter()
+        hs = [db.find_most_similar_batch_async(big_dev, k=10)
+              for _ in range(iters)]
+        for h in hs:
+            h.result()
+        return iters * big.shape[0] / (time.perf_counter() - t0)
+
+    db._engine.index_kind = "ivf"
+    db.nprobe = 32
+    dres["ivf_b1024_np32_pipelined_qps"] = _pipelined_qps()
+    db._engine.index_kind = "flat"
+    dres["exact_b1024_pipelined_qps"] = _pipelined_qps()
     dres["ivf_vs_exact_np8"] = (
         dres["ivf_b1024_np8_qps"] / dres["exact_b1024_qps"]
     )
@@ -620,11 +641,9 @@ def config6_scale_10m(quick=False):
             ops = db.stats()["ops"]
             sync_s = ops.get("corpus_sync", {}).get("total_s", 0.0)
             db.find_most_similar_batch(big, k=10)  # warm the b1024 program
-            iters = 8
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                res = db.find_most_similar_batch(big, k=10)
-            qps = iters * big.shape[0] / (time.perf_counter() - t0)
+            qps, res = _qps_median(
+                lambda: db.find_most_similar_batch(big, k=10),
+                big.shape[0], 8)
             hits = sum(
                 len(set(res[b][0]) & set(truth[b].tolist()))
                 for b in range(nq)
