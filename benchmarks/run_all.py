@@ -827,7 +827,8 @@ def main():
                 continue
             cmd = [sys.executable, os.path.abspath(__file__), "--only", name,
                    "--inline"] + (["--quick"] if args.quick else [])
-            for attempt in range(4):
+            attempts = 4
+            for attempt in range(attempts):
                 proc = subprocess.run(cmd)
                 err = _recorded_error(name)
                 crashed = proc.returncode != 0
@@ -835,8 +836,27 @@ def main():
                     err is None or not any(p in err for p in _RETRYABLE)
                 ):
                     break
+                if attempt == attempts - 1:
+                    if crashed:
+                        # a crashed subprocess wrote nothing for this
+                        # config: mark it explicitly so the merged report
+                        # cannot pass a PREVIOUS run's numbers off as
+                        # fresh evidence of this code
+                        try:
+                            with open(out_path) as f:
+                                rep = json.load(f)
+                        except Exception:
+                            rep = {}
+                        rep[name] = {"error": (
+                            f"subprocess crashed rc={proc.returncode} "
+                            f"after {attempts} attempts"
+                        )}
+                        with open(out_path, "w") as f:
+                            json.dump(rep, f, indent=1)
+                    break
                 wait = 20 * (attempt + 1)
-                print(f"[retry {attempt + 1}/3 in {wait}s] {name}: "
+                print(f"[retry {attempt + 1}/{attempts - 1} in {wait}s] "
+                      f"{name}: "
                       f"{'crash rc=%d' % proc.returncode if crashed else err}",
                       flush=True)
                 time.sleep(wait)

@@ -1103,6 +1103,11 @@ class SearchEngine:
             subn = np.ascontiguousarray(host_norms[rows])
             gathered = (rows, sub, subn)
             nbytes = rows.nbytes + sub.nbytes + subn.nbytes
+            if nbytes > _HOST_SUB_TOTAL_BYTES:
+                # an entry over the AGGREGATE bound by itself (the two
+                # bounds are independently env-tunable) must not evict the
+                # entire warm cache only to be inserted over-budget anyway
+                return gathered
             # outside the lock: tolerate racing evictions (see
             # _device_mask_thunk). Bound BOTH entry count and aggregate
             # bytes; stale-version entries (left by inserts racing a
@@ -1339,8 +1344,17 @@ class SearchEngine:
                         fetch=fetch, nprobe=nprobe, _force_exact=True,
                     )
                 if short.size:
+                    # a device-resident batch slices ON DEVICE (gather) —
+                    # the zero-copy contract must hold on the short-row
+                    # rerun too, not just the happy path
+                    from minivectordb_tpu.ops import scan as _scan_ops
+
+                    q_short = (
+                        q[short] if _scan_ops.is_device_array(q)
+                        else np.asarray(q)[short]
+                    )
                     res2 = self._scan(
-                        np.asarray(q)[short], metadata_filter,
+                        q_short, metadata_filter,
                         exclude_filter, or_filters, k, fetch=fetch,
                         nprobe=nprobe, _force_exact=True,
                     )
@@ -1475,16 +1489,10 @@ class SearchEngine:
         zero-copy on single-device engines: the queries are never pulled to
         host or re-uploaded, and the scan is forced onto the device where
         they live (mesh engines convert — their shard_map path ships numpy)."""
-        import jax as _jax
+        from minivectordb_tpu.ops import scan as _scan_ops
 
-        if (
-            isinstance(embeddings, _jax.Array)
-            and not isinstance(embeddings, np.ndarray)
-            and self.mesh is None
-        ):
-            q = embeddings
-            if q.ndim == 1:
-                q = q[None, :]
+        if _scan_ops.is_device_array(embeddings) and self.mesh is None:
+            q = _scan_ops.as_device_queries(embeddings)
         else:
             q = np.asarray(embeddings, dtype=np.float32)
             if q.ndim == 1:
@@ -1594,16 +1602,10 @@ class SearchEngine:
         mutations before .result(). Device-resident batches (jax.Array)
         pass through zero-copy on single-device engines, same contract as
         search_batch."""
-        import jax as _jax
+        from minivectordb_tpu.ops import scan as _scan_ops
 
-        if (
-            isinstance(embeddings, _jax.Array)
-            and not isinstance(embeddings, np.ndarray)
-            and self.mesh is None
-        ):
-            q = embeddings
-            if q.ndim == 1:
-                q = q[None, :]
+        if _scan_ops.is_device_array(embeddings) and self.mesh is None:
+            q = _scan_ops.as_device_queries(embeddings)
         else:
             q = np.asarray(embeddings, dtype=np.float32)
             if q.ndim == 1:

@@ -589,7 +589,7 @@ class StoreSnapshot:
         pre-uploaded serving batch) skip the host round-trip entirely: no
         np conversion, no re-upload, no host-BLAS routing — the scan runs
         where the queries already live."""
-        if isinstance(queries, jax.Array) and not isinstance(queries, np.ndarray):
+        if scan_ops.is_device_array(queries):
             return self._device_search(queries, k, mask, mode, fetch=fetch,
                                        mask_dev=mask_dev)
         batch = 1 if np.ndim(queries) == 1 else int(np.shape(queries)[0])
@@ -674,14 +674,11 @@ class StoreSnapshot:
         fetch: bool = True,
         mask_dev=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        if isinstance(queries, jax.Array) and not isinstance(queries, np.ndarray):
+        if scan_ops.is_device_array(queries):
             # zero-copy: the batch is already device-resident (encoder
             # output, or a serving batch uploaded once) — pad on device if
             # small, never bounce through the host
-            q = (queries if queries.dtype == jnp.float32
-                 else queries.astype(jnp.float32))
-            if q.ndim == 1:
-                q = q[None, :]
+            q = scan_ops.as_device_queries(queries)
             b = int(q.shape[0])
         else:
             q_np = np.ascontiguousarray(queries, dtype=np.float32)

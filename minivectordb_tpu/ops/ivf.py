@@ -696,10 +696,11 @@ class IVFSnapshot:
         nlist_eff = int(self.centroids.shape[0])
         distinct = max(1, nlist_eff - self.n_dup)
         nprobe = min(-(-nprobe * nlist_eff // distinct), nlist_eff)
-        if isinstance(queries, jax.Array) and not isinstance(queries, np.ndarray):
+        from minivectordb_tpu.ops import scan as _scan_ops
+
+        if _scan_ops.is_device_array(queries):
             # zero-copy device-resident batch: no host bounce, no re-upload
-            q = (queries if queries.dtype == jnp.float32
-                 else queries.astype(jnp.float32))
+            q = _scan_ops.as_device_queries(queries)
         else:
             q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
         kk = min(k, self.count)

@@ -37,6 +37,24 @@ _MASKED_SCORE = np.float32(-3.0e38)
 
 
 
+def is_device_array(x) -> bool:
+    """True for a device-resident ``jax.Array`` eligible for zero-copy
+    passthrough (the public search APIs accept these and never bounce them
+    through the host). numpy arrays are excluded explicitly so the
+    predicate stays correct on jax versions that register ndarray against
+    the Array ABC. This is THE shared passthrough predicate — engine,
+    store, and IVF snapshot all route through it so the zero-copy contract
+    cannot silently diverge between entry points."""
+    return isinstance(x, jax.Array) and not isinstance(x, np.ndarray)
+
+
+def as_device_queries(x: jax.Array) -> jax.Array:
+    """Normalize a device-resident query batch entirely on device:
+    float32 dtype, 2-D (batch, dim) shape. No host transfer."""
+    q = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+    return q[None, :] if q.ndim == 1 else q
+
+
 def fetch_results(vals, idx):
     """Materialize a (scores, indices) result pair in ONE host transfer.
 

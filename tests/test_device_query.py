@@ -116,6 +116,60 @@ def test_device_batch_never_pulls_to_host(tmp_path, monkeypatch):
     assert len(res) == 16 and len(res[0][0]) == 5
 
 
+def test_ivf_filtered_short_rerun_stays_on_device(tmp_path, monkeypatch):
+    """The zero-copy contract on the HARD path: a filtered IVF probe whose
+    probed lists lack k eligible rows for some queries reruns only those
+    rows through the exact masked scan — and a device-resident batch must
+    slice on device for that rerun, never materialize on host."""
+    rng = np.random.default_rng(3)
+    d, half = 32, 512
+    blob_a = rng.standard_normal((half, d)).astype(np.float32) + 10.0
+    blob_b = rng.standard_normal((half, d)).astype(np.float32) - 10.0
+    mat = np.concatenate([blob_a, blob_b])
+    db = VectorDatabase(
+        storage_file=str(tmp_path / "dqs.pkl"),
+        index="ivf", nlist=4, nprobe=1,
+        ivf_opts={"build_threshold": 1, "iters": 3,
+                  "filtered_min_frac": 0.0},
+    )
+    db.store_embeddings_batch(
+        list(range(2 * half)), mat,
+        [{"g": 0 if i < half else 1} for i in range(2 * half)],
+    )
+    db.find_most_similar(mat[0], k=1)  # trigger the lazy build
+
+    # queries near blob B probe lists holding zero g==0 rows -> short ->
+    # per-row exact rerun; queries near blob A satisfy the filter in-probe
+    q = np.concatenate([
+        rng.standard_normal((8, d)).astype(np.float32) + 10.0,
+        rng.standard_normal((8, d)).astype(np.float32) - 10.0,
+    ])
+    filt = {"g": 0}
+    res_np = db.find_most_similar_batch(q, k=5, metadata_filter=filt)
+
+    q_dev = jax.device_put(q)
+    qshape = tuple(q_dev.shape)
+
+    def guard(fn):
+        def wrapped(a, *args, **kw):
+            if isinstance(a, jax.Array) and tuple(a.shape) == qshape:
+                raise AssertionError(
+                    "device batch pulled to host on the short-rerun path"
+                )
+            return fn(a, *args, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(np, "asarray", guard(np.asarray))
+    monkeypatch.setattr(np, "ascontiguousarray", guard(np.ascontiguousarray))
+    res_dev = db.find_most_similar_batch(q_dev, k=5, metadata_filter=filt)
+    monkeypatch.undo()
+    _assert_same(res_np, res_dev)
+    for ids, _, mds in res_dev:
+        assert len(ids) == 5
+        assert all(m["g"] == 0 for m in mds)
+
+
 def test_async_device_batch_matches_numpy(tmp_path):
     db, rng = _mk_db(tmp_path)
     q = rng.standard_normal((6, 32)).astype(np.float32)
