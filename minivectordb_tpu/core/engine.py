@@ -15,6 +15,7 @@ never enter the top-k, which preserves the reference's exact-count semantics
 
 from __future__ import annotations
 
+import operator as _operator
 import os
 import threading
 import time
@@ -1419,6 +1420,43 @@ class SearchEngine:
             found.sort(key=lambda t: t[1])
         return tuple(zip(*found)) if found else ([], [], [])
 
+    @staticmethod
+    def _format_hits_batch(vals, idx, uids, metadata, return_distances):
+        """Batch-vectorized _format_hits: one C-level gather per field
+        instead of B*k Python generator steps. At b1024 k=10 the per-row
+        loop costs ~22 ms/call on this host — the dominant serial term in
+        pipelined serving throughput (device work overlaps across in-flight
+        handles; this does not). The fast path requires no masked slots
+        anywhere in the batch — scores arrive sorted descending per row,
+        so one min() over the last column checks every row at once.
+        Filtered batches that came up short fall back to the row loop."""
+        B = vals.shape[0]
+        if vals.size == 0 or float(vals[:, -1].min()) < -1.0e38:
+            return [
+                SearchEngine._format_hits(vals[b], idx[b], uids, metadata,
+                                          return_distances)
+                for b in range(B)
+            ]
+        k = vals.shape[1]
+        flat = idx.ravel().tolist()
+        if len(flat) == 1:
+            ids_flat = (uids[flat[0]],)
+            md_flat = (metadata[flat[0]],)
+        else:
+            getter = _operator.itemgetter(*flat)
+            ids_flat = getter(uids)
+            md_flat = getter(metadata)
+        if return_distances:
+            # float64 subtraction matches the row path's 1.0 - float(s)
+            rows = (1.0 - vals.astype(np.float64)).tolist()
+        else:
+            rows = vals.tolist()
+        return [
+            (ids_flat[b * k:(b + 1) * k], tuple(rows[b]),
+             md_flat[b * k:(b + 1) * k])
+            for b in range(B)
+        ]
+
     def search(
         self,
         embedding,
@@ -1504,10 +1542,8 @@ class SearchEngine:
         if res is None:
             return [([], [], [])] * q.shape[0]
         vals, idx, uids, metadata = res
-        return [
-            self._format_hits(vals[b], idx[b], uids, metadata, return_distances)
-            for b in range(q.shape[0])
-        ]
+        return self._format_hits_batch(vals, idx, uids, metadata,
+                                       return_distances)
 
     def search_batch_multi(
         self,
@@ -1552,11 +1588,8 @@ class SearchEngine:
                 return [([], [], [])] * B
             vals, idx, uids, metadata = res
             v, ix = _fetch_results(vals, idx)
-            return [
-                self._format_hits(v[b], ix[b], uids, metadata,
-                                  return_distances)
-                for b in range(B)
-            ]
+            return self._format_hits_batch(v, ix, uids, metadata,
+                                           return_distances)
         pending = []
         # one lock acquisition (RLock — _scan re-enters it) around every
         # group's filter+snapshot capture, so all groups answer from ONE
@@ -1576,10 +1609,11 @@ class SearchEngine:
                 continue
             vals, idx, uids, metadata = res
             v, ix = _fetch_results(vals, idx)  # drains this group
+            formatted = self._format_hits_batch(
+                v, ix, uids, metadata, return_distances
+            )
             for j, i in enumerate(idxs):
-                results[i] = self._format_hits(
-                    v[j], ix[j], uids, metadata, return_distances
-                )
+                results[i] = formatted[j]
         return results
 
     def search_batch_async(
@@ -1622,11 +1656,8 @@ class SearchEngine:
         def materialize():
             # blocks until the device program drains; one batched transfer
             v, i = _fetch_results(vals, idx)
-            return [
-                self._format_hits(v[b], i[b], uids, metadata,
-                                  return_distances)
-                for b in range(nq)
-            ]
+            return self._format_hits_batch(v, i, uids, metadata,
+                                           return_distances)
 
         return PendingSearch(materialize)
 
