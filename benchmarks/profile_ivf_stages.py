@@ -126,32 +126,41 @@ def main():
 
     # ---- stage 3: the Pallas kernel (jit-wrapped with lists as an ARGUMENT:
     # closing over the 1 GB list tensor ships it as a compile-time constant
-    # to the remote compiler — HTTP 413)
-    stage3 = jax.jit(_grouped_scores)
-    sc = stage3(lists, gq, step_list)
-    dt3 = timeit(lambda: stage3(lists, gq, step_list))
+    # to the remote compiler — HTTP 413). Validity masking + (int8) cosine
+    # scaling run in the kernel epilogue now, so stage 3 absorbs what used
+    # to be stage 4's (B, nprobe, P) gathers.
+    from minivectordb_tpu.ops.pallas_ivf import _grouped_scores_q
+
+    if lists.dtype == jnp.int8:
+        @jax.jit
+        def qinv_of(qn, step_q):
+            qi = jnp.clip(jnp.round(qn * 127.0), -127, 127)
+            return (1.0 / jnp.maximum(
+                jnp.sqrt(jnp.sum(qi * qi, axis=-1)), 1e-30))[step_q]
+
+        gqinv = qinv_of(qn, step_q)
+        stage3 = jax.jit(_grouped_scores_q)
+        sc = stage3(lists, gq, step_list, list_valid, linv, gqinv)
+        dt3 = timeit(lambda: stage3(lists, gq, step_list, list_valid, linv,
+                                    gqinv))
+    else:
+        stage3 = jax.jit(_grouped_scores)
+        sc = stage3(lists, gq, step_list, list_valid)
+        dt3 = timeit(lambda: stage3(lists, gq, step_list, list_valid))
     print(f"stage3 kernel (S,G,P)={tuple(sc.shape)}: {dt3*1e3:.2f} ms",
           flush=True)
 
-    # ---- stage 4: selection + mask + top-k
+    # ---- stage 4: selection + top-k (scores arrive masked+scaled)
     @functools.partial(jax.jit, static_argnames=("kk",))
-    def stage4(sc, probe, pair_step, pair_slot, qn, kk):
-        svals = sc[pair_step, pair_slot]
-        if linv is not None:
-            qi = jnp.clip(jnp.round(qn * 127.0), -127, 127)
-            qinv = 1.0 / jnp.maximum(
-                jnp.sqrt(jnp.sum(qi * qi, axis=-1)), 1e-30)
-            svals = svals * linv[probe] * qinv[:, None, None]
-        valid = list_valid[probe]
-        gids = list_ids[probe]
-        scores = jnp.where(valid, svals, -3.0e38).reshape(b, nprobe * p)
+    def stage4(sc, probe, pair_step, pair_slot, kk):
+        scores = sc[pair_step, pair_slot].reshape(b, nprobe * p)
         vals, pos = jax.lax.top_k(scores, kk)
-        ids = jnp.take_along_axis(
-            gids.reshape(b, nprobe * p), pos, axis=-1)
+        win_list = jnp.take_along_axis(probe, pos // p, axis=-1)
+        ids = list_ids[win_list, pos % p]
         return vals, ids
 
-    vals, ids = stage4(sc, probe, pair_step, pair_slot, qn, args.kwide)
-    dt4 = timeit(lambda: stage4(sc, probe, pair_step, pair_slot, qn,
+    vals, ids = stage4(sc, probe, pair_step, pair_slot, args.kwide)
+    dt4 = timeit(lambda: stage4(sc, probe, pair_step, pair_slot,
                                 args.kwide))
     print(f"stage4 select+topk(width {nprobe*p}, k {args.kwide}): "
           f"{dt4*1e3:.2f} ms", flush=True)

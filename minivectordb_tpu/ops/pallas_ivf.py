@@ -101,7 +101,7 @@ def _probe_scores(lists, q, probe_ids):
 # ---------------------------------------------------------------------------
 
 
-def _group_kernel(step_list_ref, gq_ref, lists_ref, out_ref):
+def _group_kernel(step_list_ref, gq_ref, lists_ref, valid_ref, out_ref):
     s = pl.program_id(0)
 
     # padding steps carry list id -1 (the static group-count bound over-
@@ -114,28 +114,121 @@ def _group_kernel(step_list_ref, gq_ref, lists_ref, out_ref):
         gq = gq_ref[0]  # (G, d) — this step's query group
         if block.dtype == jnp.int8:
             # int8 x int8 -> i32 on the MXU (4x the f32 arithmetic rate,
-            # quarter HBM); cosine scales apply in XLA afterwards
+            # quarter HBM); cosine scales apply in XLA afterwards on the
+            # selected (B, nprobe, P) view (selection gathers them anyway)
             dots = jax.lax.dot_general(
                 gq,
                 block,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )
-            out_ref[0] = dots.astype(jnp.float32)
+            ).astype(jnp.float32)
         else:
-            out_ref[0] = jax.lax.dot_general(
+            dots = jax.lax.dot_general(
                 gq,
                 block,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (G, P)
+        # sentinel-mask empty/tombstoned slots HERE, against the (1, P)
+        # validity row DMA'd with the block (4 KB/step): the XLA
+        # formulation gathered list_valid[probe] into a (B, nprobe, P)
+        # tensor and ran a batch-wide where over the scores — two full
+        # passes over selection-sized buffers that this elementwise
+        # select replaces for free inside the kernel's epilogue.
+        # valid_ref[0] is (1, P) — the table ships as (L, 1, P) because
+        # Mosaic requires block last-two-dims (1, P) to match the array's
+        out_ref[0] = jnp.where(valid_ref[0] != 0, dots, _MASKED_SCORE)
 
 
-def _grouped_scores(lists, grouped_q, step_list):
-    """lists (L, P, d); grouped_q (S, G, d) same dtype; step_list (S,) int32
-    (-1 marks padding steps). Returns (S, G, P) f32 scores."""
+def _group_kernel_q(step_list_ref, gq_ref, qinv_ref, lists_ref, valid_ref,
+                    linv_ref, out_ref):
+    """int8 variant: the full cosine reconstruction happens in the kernel
+    epilogue — raw i32 dots * per-slot list scale (1/||slot||, 0 on empty
+    slots) * per-query scale (1/||int8 query||), then the validity mask.
+    Doing this in XLA instead required gathering list_inv[probe] into a
+    (B, nprobe, P) f32 tensor and two batch-wide elementwise passes; here
+    the scales arrive as a (1, P) row + a (1, G) column per step (~4 KB)
+    and the epilogue fuses into the matmul's output write. Masking must
+    follow scaling: empty slots carry list_inv == 0, and sentinel * 0
+    would otherwise turn -3e38 into a clean 0.0 score."""
+    s = pl.program_id(0)
+
+    @pl.when(step_list_ref[s] >= 0)
+    def _():
+        block = lists_ref[0]  # (P, d) int8 — DMA'd per step_list[s]
+        gq = gq_ref[0]  # (G, d) int8 — this step's query group
+        dots = jax.lax.dot_general(
+            gq,
+            block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # (G, P)
+        # linv_ref[0] is (1, P), qinv_ref[0] is (G, 1) — both broadcast
+        # against the (G, P) dots (tables ship 3-D for Mosaic's block rule)
+        scaled = dots * linv_ref[0] * qinv_ref[0]
+        out_ref[0] = jnp.where(valid_ref[0] != 0, scaled, _MASKED_SCORE)
+
+
+def _grouped_scores_q(lists, grouped_q, step_list, list_valid, list_inv,
+                      grouped_qinv):
+    """int8 grouped probe: lists (L, P, d) int8; grouped_q (S, G, d) int8;
+    step_list (S,) int32; list_valid (L, P) bool; list_inv (L, P) f32;
+    grouped_qinv (S, G) f32. Returns (S, G, P) f32 COSINE scores with
+    invalid slots sentinel-masked."""
     l, p, d = lists.shape
     s, g, _ = grouped_q.shape
+    # 3-D layouts so each block's last two dims satisfy Mosaic's rule:
+    # tables (L, 1, P) with (1, 1, P) blocks; qinv (S, G, 1) with
+    # (1, G, 1) blocks (G = 16 is divisible by 8)
+    valid_i8 = list_valid.astype(jnp.int8).reshape(l, 1, p)
+    linv3 = list_inv.reshape(l, 1, p)
+    qinv3 = grouped_qinv.reshape(s, g, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, g, d), lambda ss, ids: (ss, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, 1), lambda ss, ids: (ss, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, d),
+                         lambda ss, ids: (jnp.maximum(ids[ss], 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p),
+                         lambda ss, ids: (jnp.maximum(ids[ss], 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p),
+                         lambda ss, ids: (jnp.maximum(ids[ss], 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, p), lambda ss, ids: (ss, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        _group_kernel_q,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, g, p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * g * p * d + 3 * s * g * p,
+            bytes_accessed=s * (p * d + g * d) + 4 * s * g * p
+            + 5 * s * p + 4 * s * g,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(step_list, grouped_q, qinv3, lists, valid_i8, linv3)
+
+
+def _grouped_scores(lists, grouped_q, step_list, list_valid):
+    """lists (L, P, d); grouped_q (S, G, d) same dtype; step_list (S,) int32
+    (-1 marks padding steps); list_valid (L, P) bool/int8. Returns
+    (S, G, P) f32 scores with invalid slots already sentinel-masked."""
+    l, p, d = lists.shape
+    s, g, _ = grouped_q.shape
+    # Mosaic VMEM blocks want byte-addressable lanes: ship validity as int8,
+    # shaped (L, 1, P) so the (1, 1, P) block's last two dims match the
+    # array's (Mosaic's block-shape divisibility rule)
+    valid_i8 = list_valid.astype(jnp.int8).reshape(l, 1, p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(s,),
@@ -143,6 +236,9 @@ def _grouped_scores(lists, grouped_q, step_list):
             pl.BlockSpec((1, g, d), lambda ss, ids: (ss, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, d),
+                         lambda ss, ids: (jnp.maximum(ids[ss], 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p),
                          lambda ss, ids: (jnp.maximum(ids[ss], 0), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -157,11 +253,11 @@ def _grouped_scores(lists, grouped_q, step_list):
         cost_estimate=pl.CostEstimate(
             flops=2 * s * g * p * d,
             bytes_accessed=s * (p * d + g * d) * lists.dtype.itemsize
-            + 4 * s * g * p,
+            + 4 * s * g * p + s * p,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(step_list, grouped_q, lists)
+    )(step_list, grouped_q, lists, valid_i8)
 
 
 def _exclusive_cumsum(x):
@@ -232,15 +328,26 @@ def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
     pair_slot = inv_slot.reshape(b, nprobe)
 
     grouped_q = qd[step_q]  # (S, G, d); pad slots repeat query 0 (discarded)
-    step_scores = _grouped_scores(lists, grouped_q, step_list)  # (S, G, P)
-
-    # -- per-query selection (XLA gathers over small tensors) ---------------
-    svals = step_scores[pair_step, pair_slot]  # (B, nprobe, P)
     if qinv is not None:
-        svals = svals * list_inv[probe] * qinv[:, None, None]
-    valid = list_valid[probe]  # (B, nprobe, P)
-    gids = list_ids[probe]
-    scores = jnp.where(valid, svals, _MASKED_SCORE).reshape(b, nprobe * p)
+        # int8: cosine scales + validity mask apply in the kernel epilogue
+        # (see _group_kernel_q) — no (B, nprobe, P) list_inv/valid gathers
+        step_scores = _grouped_scores_q(
+            lists, grouped_q, step_list, list_valid, list_inv, qinv[step_q]
+        )  # (S, G, P), already cosine + masked
+    else:
+        step_scores = _grouped_scores(
+            lists, grouped_q, step_list, list_valid
+        )  # (S, G, P), already masked
+
+    # -- per-query selection --------------------------------------------
+    # The kernel emits final masked scores, so selection is ONE gather
+    # into (B, nprobe, P) layout + the top-k; winning global ids resolve
+    # from pos afterwards with (B, kk)-sized gathers. The previous XLA
+    # formulation materialized list_valid[probe] / list_ids[probe]
+    # (B, nprobe, P) tensors (~150 MB/batch at the 1M x 1024 point) plus a
+    # batch-wide where — all replaced by the kernel epilogue + this slice.
+    svals = step_scores[pair_step, pair_slot]  # (B, nprobe, P)
+    scores = svals.reshape(b, nprobe * p)
     kk = min(k, nprobe * p)
     if selector == "approx" and kk < nprobe * p and \
             jax.default_backend() != "cpu":
@@ -248,7 +355,8 @@ def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
         pos = pos.astype(jnp.int32)
     else:
         vals, pos = jax.lax.top_k(scores, kk)
-    ids = jnp.take_along_axis(gids.reshape(b, nprobe * p), pos, axis=-1)
+    win_list = jnp.take_along_axis(probe, pos // p, axis=-1)  # (B, kk)
+    ids = list_ids[win_list, pos % p]  # (B, kk) gather — not (B, nprobe*P)
     return vals, ids
 
 
