@@ -47,6 +47,42 @@ def test_pallas_ivf_query_chunking():
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
 
 
+def test_grouped_empty_slots_never_win_when_scores_negative(monkeypatch):
+    """Mask-ordering regression: empty/padded list slots carry
+    list_inv == 0, and the int8 kernel epilogue reconstructs cosine as
+    dots * list_inv * q_inv BEFORE masking — if masking ran first (or the
+    mask were dropped), an empty slot would score exactly 0.0. Random-data
+    tests can't see that (real top-k scores are positive); here every
+    corpus vector anti-correlates with the query, so all true scores are
+    ~-1 and any leaked empty slot would WIN the top-k with 0.0."""
+    import minivectordb_tpu.ops.ivf as ivf_mod
+    from minivectordb_tpu.ops.ivf import IVFIndex
+
+    monkeypatch.setattr(ivf_mod, "_FORCE_PALLAS_ROUTE", True)
+    rng = np.random.default_rng(7)
+    n, d = 300, 128
+    base = rng.standard_normal(d).astype(np.float32)
+    base /= np.linalg.norm(base)
+    # every row ~= -base + small noise: cos(row, base) ~ -1 for all rows
+    mat = (-base[None, :] + 0.05 * rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    for dtype in ("float32", "bfloat16", "int8"):
+        index = IVFIndex(nlist=2, nprobe=2, iters=3, device_dtype=dtype)
+        index.build(mat)
+        snap = index.snapshot()
+        # B=16 takes the grouped kernel; repeat the query so every group
+        # slot is live
+        q = np.tile(base, (16, 1)).astype(np.float32)
+        vals, ids = snap.search(q, k=10)
+        vals = np.asarray(vals)
+        ids = np.asarray(ids)
+        assert vals.max() < 0.0, (dtype, float(vals.max()))
+        assert ids.min() >= 0 and ids.max() < n, (
+            dtype, int(ids.min()), int(ids.max()),
+        )
+
+
 def test_snapshot_tpu_route_integration_interpreted(monkeypatch):
     """Exercise IVFSnapshot.search's TPU branch END TO END on CPU (kernels
     interpret): grouped route (B>=16) and per-pair route (small B), f32 and
