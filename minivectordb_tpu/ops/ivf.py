@@ -568,6 +568,40 @@ class IVFIndex:
             self.count -= n_del
         return n_del
 
+    def tombstone_rows(self, rows) -> int:
+        """Mark the slots of tombstoned global rows invalid WITHOUT remapping
+        ids (the deferred-compaction delete path: physical row ids do not
+        move, so surviving slot ids stay correct as-is; ``count`` keeps its
+        physical meaning). Returns the number of newly-invalid slots."""
+        rows = np.asarray(sorted({int(r) for r in rows}), dtype=np.int64)
+        rows = rows[(rows >= 0) & (rows < self.count)]
+        if rows.size == 0:
+            return 0
+        ids = np.asarray(self._list_ids)
+        valid = np.asarray(self._list_valid)
+        doomed = valid & np.isin(ids, rows)
+        n_del = int(doomed.sum())
+        if n_del:
+            self._list_valid = jnp.asarray(valid & ~doomed)
+            self._tables = (self._lists, self._list_ids, self._list_valid)
+        return n_del
+
+    @staticmethod
+    def state_tombstone_rows(state: dict, rows) -> int:
+        """tombstone_rows for a persisted (not yet attached) state dict —
+        clears list_valid in place without remapping ids or count."""
+        rows = np.asarray(sorted({int(r) for r in rows}), dtype=np.int64)
+        rows = rows[(rows >= 0) & (rows < int(state["count"]))]
+        if rows.size == 0:
+            return 0
+        ids = np.asarray(state["list_ids"])
+        valid = np.asarray(state["list_valid"])
+        doomed = valid & np.isin(ids, rows)
+        n_del = int(doomed.sum())
+        if n_del:
+            state["list_valid"] = valid & ~doomed
+        return n_del
+
     @staticmethod
     def state_after_deletes(state: dict, rows) -> int:
         """delete_rows for a persisted (not yet attached) state dict —

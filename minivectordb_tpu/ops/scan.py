@@ -347,3 +347,54 @@ write_rows_pre = functools.partial(jax.jit, donate_argnums=(0, 1))(
     _write_rows_pre_impl
 )
 write_rows_pre_nodonate = jax.jit(_write_rows_pre_impl)
+
+
+# -- tombstone-delete support (deferred compaction) ---------------------------
+# Deletes mark rows dead instead of compacting the packed matrix eagerly
+# (the reference's np.delete, vector_database.py:126, moves the whole tail
+# per call). On device the alive mask updates by an O(deleted) index
+# scatter; physical compaction is deferred and, when it runs, rearranges the
+# HBM buffer with an on-device gather instead of re-streaming the tail
+# through the host link.
+
+
+def _clear_mask_rows_impl(mask, idx):
+    return mask.at[idx].set(False)
+
+
+# never donated: snapshots captured before the delete hold the previous
+# alive mask and must keep reading it (a dev_capacity bool array is ~1 MB at
+# 1M rows — the copy is noise)
+clear_mask_rows_dev = jax.jit(_clear_mask_rows_impl)
+
+
+def clear_mask_rows(mask: jax.Array, rows: np.ndarray) -> jax.Array:
+    """alive_mask.at[rows].set(False) with the index vector padded to a
+    power-of-two bucket (one compiled program per bucket, not per delete
+    size). Pad slots repeat rows[0] — a duplicate scatter of False is a
+    no-op."""
+    n = int(rows.shape[0])
+    pad = max(8, 1 << (n - 1).bit_length())
+    idx = np.full(pad, rows[0], dtype=np.int32)
+    idx[:n] = rows
+    return clear_mask_rows_dev(mask, jnp.asarray(idx))
+
+
+def _compact_gather_impl(buf, inv_norms, perm):
+    return buf[perm], inv_norms[perm]
+
+
+compact_gather = functools.partial(jax.jit, donate_argnums=(0, 1))(
+    _compact_gather_impl
+)
+compact_gather_nodonate = jax.jit(_compact_gather_impl)
+
+
+def _compact_gather_one_impl(buf, perm):
+    return buf[perm]
+
+
+compact_gather_one = functools.partial(jax.jit, donate_argnums=(0,))(
+    _compact_gather_one_impl
+)
+compact_gather_one_nodonate = jax.jit(_compact_gather_one_impl)

@@ -100,15 +100,15 @@ class ShardedVectorDatabase:
 
     @property
     def metadata(self):
-        return self._engine.metadata
+        return self._engine.observable_metadata()
 
     @property
     def unique_ids(self) -> list:
-        return self._engine.uids
+        return self._engine.observable_uids()
 
     @property
     def inverse_id_map(self) -> dict:
-        return self._engine.inverse_id_map
+        return self._engine.observable_inverse_id_map()
 
     @property
     def inverted_index(self):
@@ -190,6 +190,9 @@ class ShardedVectorDatabase:
                 if live:
                     self._engine.delete_many(live)
                     self._unplace(live)
+        # fold replayed tombstoned deletes out before the device ever syncs
+        # (host-only compaction at load time — the buffer doesn't exist yet)
+        self._engine.compact_tombstones()
         self.compact()
 
     def _unplace(self, uids) -> None:
@@ -209,8 +212,11 @@ class ShardedVectorDatabase:
             if self._engine.embedding_size is None:
                 wal_mod.truncate(self._wal_path)
                 return
+            # PHYSICAL structures: inverse_id_map values are physical rows,
+            # so gather from the physical store view (embeddings_view is the
+            # logical live-rows matrix while tombstoned deletes are pending)
             inv = self._engine.inverse_id_map
-            view = self._engine.embeddings_view
+            view = self._engine.store.view()
             metadata = self._engine.metadata
             import pickle as _pickle
 
@@ -454,7 +460,8 @@ class ShardedVectorDatabase:
         equivalent, SURVEY.md §5). See VectorDatabase.stats for ``routing``."""
         eng = self._engine
         out = {
-            "count": eng.count,
+            "count": eng.live_count,
+            "tombstoned_rows": eng.count - eng.live_count,
             "embedding_size": eng.embedding_size,
             "device_dtype": eng.device_dtype,
             "search_mode": eng.search_mode,
@@ -464,6 +471,9 @@ class ShardedVectorDatabase:
         routing = eng.routing_stats()
         if routing is not None:
             out["routing"] = routing
+        coal = eng.coalesce_stats()
+        if coal is not None:
+            out["coalescing"] = coal
         ivf = eng.ivf_stats()
         if ivf is not None:
             out["ivf"] = ivf

@@ -68,7 +68,10 @@ class VectorDatabase:
         {build_threshold, rebuild_frac, iters, lists_dtype}.
         coalesce_window_ms: > 0 enables serving-side dynamic batching —
         concurrent find_most_similar calls from different threads merge
-        into shared device dispatches (each call waits up to the window)."""
+        into shared device dispatches (each call waits up to the window);
+        "auto" self-tunes the window from the measured per-dispatch cost
+        and observed concurrency (self-disabling when calls never
+        overlap)."""
         self.storage_file = storage_file
         merged_ivf = {"nlist": nlist, "nprobe": nprobe, **(ivf_opts or {})}
         self._engine = SearchEngine(
@@ -98,16 +101,16 @@ class VectorDatabase:
 
     @property
     def metadata(self):
-        return self._engine.metadata
+        return self._engine.observable_metadata()
 
     @property
     def id_map(self) -> dict:
         """row -> unique id (reference vector_database.py:14)."""
-        return {i: uid for i, uid in enumerate(self._engine.uids)}
+        return {i: uid for i, uid in enumerate(self._engine.observable_uids())}
 
     @property
     def inverse_id_map(self) -> dict:
-        return self._engine.inverse_id_map
+        return self._engine.observable_inverse_id_map()
 
     @property
     def inverted_index(self):
@@ -144,6 +147,9 @@ class VectorDatabase:
         """Pickle snapshot, schema-compatible with the reference
         (vector_database.py:538-548)."""
         with self._engine.lock:
+            # fold out tombstoned deletes first: the pickle carries the
+            # dense compacted schema the reference writes
+            self._engine._compact_tombstones()
             data = {
                 "embeddings": None
                 if self._engine.store is None
@@ -340,7 +346,8 @@ class VectorDatabase:
         unprimed) and the device filter-mask cache occupancy."""
         eng = self._engine
         out = {
-            "count": eng.count,
+            "count": eng.live_count,
+            "tombstoned_rows": eng.count - eng.live_count,
             "embedding_size": eng.embedding_size,
             "device_dtype": eng.device_dtype,
             "search_mode": eng.search_mode,
@@ -349,6 +356,9 @@ class VectorDatabase:
         routing = eng.routing_stats()
         if routing is not None:
             out["routing"] = routing
+        coal = eng.coalesce_stats()
+        if coal is not None:
+            out["coalescing"] = coal
         ivf = eng.ivf_stats()
         if ivf is not None:
             out["ivf"] = ivf
