@@ -43,86 +43,19 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Each case: (query, [candidates...]) — candidate 0 is the target; top-1
-# accuracy is the score. Candidates are reference-README-style sentences.
-_CORPUS = [
-    "i like animals",
-    "i like cars",
-    "i like programming",
-    "technology is the future",
-    "the stock market fell sharply",
-    "my favorite food is pasta",
-    "she plays the violin beautifully",
-]
-
-
-def _cases(queries_and_targets):
-    return [
-        (q, [_CORPUS[t]] + [c for i, c in enumerate(_CORPUS) if i != t])
-        for q, t in queries_and_targets
-    ]
-
-
-IN_DOMAIN = {
-    # the reference's own semantic assertion (test_vector_database.py:195+)
-    "dogs_to_animals": _cases([("i like dogs", 0)]),
-    # held-out templates over trained concept groups
-    "synonym_templates": _cases([
-        ("my favorite thing is a puppy", 0),
-        ("nothing beats a good truck", 1),
-        ("i spend evenings coding", 2),
-        ("computers keep getting better", 3),
-        ("i love eating spaghetti", 5),
-    ]),
-    # the six trained languages (es/fr/de/it/pt + en above)
-    "trained_languages": _cases([
-        ("me gustan los perros", 0),
-        ("j'aime les chiens", 0),
-        ("ich mag hunde", 0),
-        ("mi piacciono i cani", 0),
-        ("eu gosto de cachorros", 0),
-    ]),
-}
-
-STRESSORS = {
-    # domain jargon sharing no content word with any corpus sentence
-    "oov_jargon": _cases([
-        ("the kubernetes deployment rolled back", 3),
-        ("my golden retriever chased a squirrel", 0),
-        ("the sedan needs new brake pads", 1),
-        ("debugging the segfault took all night", 2),
-        ("the hedge fund liquidated its positions", 4),
-        ("simmer the marinara with fresh basil", 5),
-        ("the cellist tuned before the concerto", 6),
-    ]),
-    # languages the bundled corpus never saw
-    "unseen_languages": _cases([
-        ("ik hou van honden", 0),          # nl
-        ("lubie psy", 0),                  # pl
-        ("jag gillar hundar", 0),          # sv
-        ("inu ga daisuki desu", 0),        # ja (romaji)
-    ]),
-    # paraphrases with zero lexical overlap with their target
-    "paraphrase": _cases([
-        ("canines are wonderful creatures", 0),
-        ("automobiles fascinate me", 1),
-        ("writing software brings me joy", 2),
-        ("machines will shape tomorrow", 3),
-        ("equities plunged at the closing bell", 4),
-        ("noodles in tomato sauce are delicious", 5),
-    ]),
-}
+from minivectordb_tpu.models.quality_probes import (  # noqa: E402
+    CORPUS as _CORPUS,
+    IN_DOMAIN,
+    STRESSOR_FLOORS,
+    STRESSORS,
+    score_cases,
+)
 
 _SLOTS = ("builtin", "small", "large", "bgem3")
 
 
 def _score(model, cases) -> float:
-    hits = 0
-    for q, cands in cases:
-        emb = np.asarray(model.extract_embeddings_batch([q] + cands))
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        hits += int(np.argmax(emb[1:] @ emb[0]) == 0)
-    return hits / len(cases)
+    return score_cases(model.extract_embeddings_batch, cases)
 
 
 def _probe_slot(slot: str) -> dict:
@@ -149,11 +82,22 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=default_out)
     args = ap.parse_args(argv)
 
-    report: dict = {"slots": {}}
+    report: dict = {"slots": {}, "stressor_floors": STRESSOR_FLOORS}
+    violations = []
     for slot in _SLOTS:
         print(f"probing {slot}...", flush=True)
         report["slots"][slot] = _probe_slot(slot)
         print(f"  {json.dumps(report['slots'][slot])}", flush=True)
+        for fam, floor in STRESSOR_FLOORS.items():
+            got = report["slots"][slot]["stressors"][fam]
+            if got < floor:
+                violations.append(
+                    {"slot": slot, "stressor": fam, "score": got,
+                     "floor": floor}
+                )
+    if violations:
+        report["floor_violations"] = violations
+        print(f"FLOOR VIOLATIONS: {json.dumps(violations)}", flush=True)
 
     pretrained = [
         s for s, r in report["slots"].items() if r["source"] == "pretrained"
@@ -187,7 +131,7 @@ def main(argv=None) -> int:
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"report -> {args.out}")
-    return 0
+    return 1 if violations else 0
 
 
 if __name__ == "__main__":

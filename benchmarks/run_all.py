@@ -144,7 +144,19 @@ def config1b_fused_at_scale(quick=False):
         "batch": batch,
         "ingest_s": ingest_s,
         "fused_ms_per_batch64": fused_ms,
+        "fused_ms_spread": {
+            "median": fused_ms,
+            "min": float(np.min(lat_fused) * 1e3),
+            "max": float(np.max(lat_fused) * 1e3),
+            "reps": len(lat_fused),
+        },
         "two_step_ms_per_batch64": two_ms,
+        "two_step_ms_spread": {
+            "median": two_ms,
+            "min": float(np.min(lat_two) * 1e3),
+            "max": float(np.max(lat_two) * 1e3),
+            "reps": len(lat_two),
+        },
         "fused_speedup": two_ms / fused_ms,
     }
 

@@ -288,7 +288,20 @@ def pallas_ivf_search_grouped(centroids, lists, list_ids, list_valid, q,
     qn = q.astype(jnp.float32)
     qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-30)
     cscores = jnp.dot(qn, centroids.T, preferred_element_type=jnp.float32)
-    _, probe = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
+    if (
+        selector == "approx"
+        and nprobe < l
+        and jax.default_backend() != "cpu"
+    ):
+        # two-stage callers (selector='approx' == exact rescore downstream)
+        # only need the probed LIST SET, not its order: TPU ApproxTopK at a
+        # 0.999 per-element recall target replaces the full sort-based
+        # lax.top_k over nlist_eff (measured 3.6 ms -> sub-ms at b1024 x
+        # 6618 lists; expected probe-set loss 0.1% of one list, noise next
+        # to the nprobe recall knob itself)
+        _, probe = jax.lax.approx_max_k(cscores, nprobe, recall_target=0.999)
+    else:
+        _, probe = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
     probe = probe.astype(jnp.int32)
     if lists.dtype == jnp.int8:
         qi = jnp.clip(jnp.round(qn * 127.0), -127, 127)

@@ -53,8 +53,16 @@ def test_corpus_groups_have_no_cross_category_duplicates():
     seen = defaultdict(set)
     for form, cat, gi in builtin_data.vocabulary():
         seen[form].add((cat, gi))
-    dups = {f: v for f, v in seen.items() if len(v) > 1}
+    dups = {
+        f: v for f, v in seen.items()
+        if len(v) > 1 and f not in builtin_data.POLYSEMES
+    }
     assert not dups, dups
+    # the allowlist must stay honest: every listed polyseme really is
+    # cross-category (a stale entry would silently widen the guard)
+    for f in builtin_data.POLYSEMES:
+        cats = {c for c, _ in seen[f]}
+        assert len(cats) > 1, f"POLYSEMES entry {f!r} is not cross-category"
 
 
 def test_cos_floor_transform():
