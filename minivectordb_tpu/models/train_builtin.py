@@ -249,6 +249,21 @@ def run_probes(params, tok, log=print, cfg=None) -> dict:
     wq = _embed_many(params, tok, wide_queries, cfg=cfg)
     res["wide_dogs_acc"] = float(np.mean(np.argmax(wq @ we.T, axis=1) == 0))
 
+    # OOD stressor floors (round-5 VERDICT weak #7): the same probe
+    # families the committed quality envelope scores
+    # (models/quality_probes.py) gate the artifact at TRAINING time, so a
+    # retrain can never silently regress jargon/language/paraphrase
+    # robustness below the documented floors.
+    from minivectordb_tpu.models.quality_probes import STRESSORS
+
+    def _embed_batch(texts):
+        return _embed_many(params, tok, list(texts), cfg=cfg)
+
+    from minivectordb_tpu.models.quality_probes import score_cases
+
+    for fam, cases in STRESSORS.items():
+        res[f"stressor_{fam}"] = score_cases(_embed_batch, cases)
+
     for k, v in res.items():
         log(f"  probe {k}: {v}")
     return res
@@ -270,8 +285,15 @@ THRESHOLDS = {
 
 
 def probes_pass(res: dict) -> bool:
-    return all(res[k] == v for k, v in GATES.items()) and all(
-        res[k] >= t for k, t in THRESHOLDS.items()
+    from minivectordb_tpu.models.quality_probes import STRESSOR_FLOORS
+
+    return (
+        all(res[k] == v for k, v in GATES.items())
+        and all(res[k] >= t for k, t in THRESHOLDS.items())
+        and all(
+            res[f"stressor_{fam}"] >= floor
+            for fam, floor in STRESSOR_FLOORS.items()
+        )
     )
 
 
