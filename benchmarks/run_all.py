@@ -983,6 +983,20 @@ def main():
             except Exception:
                 return None
 
+        # Hard wall-clock budget per config child: the axon tunnel
+        # occasionally WEDGES a client's very first RPC (observed when a new
+        # process starts near another's exit) — the child then sits forever
+        # at ~0 CPU and subprocess.run without a timeout never returns.
+        # A killed-on-timeout child is retried like any other
+        # environmental failure.
+        _BUDGET_S = {
+            "env": 420, "config1_readme_flow": 900,
+            "config1b_fused_at_scale": 1500, "config2_filters_mutations": 1200,
+            "config3_hybrid_rerank": 900, "config4_sharded_multithreaded": 1800,
+            "config5_ivf": 3000, "config6_scale_10m": 3900,
+            "encoder_throughput": 900, "recall_harness": 1500,
+        }
+
         for name, _, _ in steps:
             if name in skip:
                 continue
@@ -991,7 +1005,14 @@ def main():
                        ["--quick"] if args.quick else [])
             attempts = 4
             for attempt in range(attempts):
-                proc = subprocess.run(cmd)
+                try:
+                    proc = subprocess.run(
+                        cmd, timeout=_BUDGET_S.get(name, 1800))
+                except subprocess.TimeoutExpired:
+                    print(f"[timeout] {name}: killed after "
+                          f"{_BUDGET_S.get(name, 1800)}s (wedged tunnel?)",
+                          flush=True)
+                    proc = subprocess.CompletedProcess(cmd, returncode=-9)
                 err = _recorded_error(name)
                 crashed = proc.returncode != 0
                 if not crashed and (
