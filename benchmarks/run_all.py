@@ -642,7 +642,7 @@ def config5_ivf_1m(quick=False):
     # 17.9k↔52.6k QPS for the identical code path between measurement
     # windows (round-4 VERDICT weak #3), so one-shot readings of the two
     # paths taken minutes apart are not comparable.
-    def _pipelined_qps(iters=8, depth=8):
+    def _pipelined_qps(iters=16, depth=16):
         hs = [db.find_most_similar_batch_async(big_dev, k=10)
               for _ in range(2)]
         for h in hs:
