@@ -60,8 +60,13 @@ def test_citation(cit):
     with open(os.path.join(_ROOT, cit["artifact"])) as f:
         value = float(_resolve(json.load(f), cit["path"]))
     # match to the precision the text printed: tolerance = 1 unit in the
-    # last shown digit (plus float slack)
-    digits = len(m.group(0).replace(",", "").replace("-", "").replace(".", ""))
+    # last shown SIGNIFICANT digit (leading zeros in "0.000091" are place
+    # holders, not precision; exponents are not digits)
+    mantissa = m.group(0).split("e")[0].split("E")[0]
+    digits = len(
+        mantissa.replace(",", "").replace("-", "")
+        .replace(".", "").lstrip("0")
+    ) or 1
     if quoted == 0:
         tol = 1e-9
     else:
